@@ -1,0 +1,247 @@
+"""JAX (jit-able) quantize/dequantize for the block formats.
+
+Value-identical to codec_np (the numpy ground truth mirroring the reference's
+src/common/quantization.h); used for on-device dequant fallback paths, KV-cache
+and activation quantization, and eager quantize-on-load.
+
+A quantized tensor travels through jit as a QuantizedTensor pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .formats import QuantFormat, get_format
+from . import codec_np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedTensor:
+    """A block-quantized 2-D tensor, blocks along axis 0 (K).
+
+    planes: dict of packed uint8 arrays (see formats.py for layouts)
+    scale/base: per-block metadata planes, shape (K/block, N)
+    """
+
+    format: str
+    shape: tuple  # logical (K, N)
+    planes: dict
+    scale: jax.Array
+    base: Optional[jax.Array]
+
+    def tree_flatten(self):
+        names = sorted(self.planes)
+        children = [self.planes[n] for n in names] + [self.scale, self.base]
+        return children, (self.format, self.shape, names)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        fmt, shape, names = aux
+        planes = dict(zip(names, children[: len(names)]))
+        scale, base = children[len(names):]
+        return cls(fmt, shape, planes, scale, base)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+    @property
+    def nbytes(self):
+        n = sum(int(np.prod(p.shape)) for p in self.planes.values())
+        n += self.scale.size * self.scale.dtype.itemsize
+        if self.base is not None:
+            n += self.base.size * self.base.dtype.itemsize
+        return n
+
+    @classmethod
+    def from_np(cls, qt: dict) -> "QuantizedTensor":
+        return cls(qt["format"], tuple(qt["shape"]),
+                   {k: jnp.asarray(v) for k, v in qt["planes"].items()},
+                   jnp.asarray(qt["scale"]),
+                   None if qt["base"] is None else jnp.asarray(qt["base"]))
+
+    def to_np(self) -> dict:
+        return {"format": self.format, "shape": self.shape,
+                "planes": {k: np.asarray(v) for k, v in self.planes.items()},
+                "scale": np.asarray(self.scale),
+                "base": None if self.base is None else np.asarray(self.base)}
+
+
+def _unpack_plane_jnp(packed: jax.Array, bits: int, layout: str, block: int):
+    """Unpack a byte plane to one value per element along axis 0.
+
+    'consecutive': value k lives in byte k//p at bit (k%p)*bits.
+    Implemented as sublane repeat + per-row shift (VPU-friendly; no gathers).
+    """
+    p = 8 // bits
+    rows, n = packed.shape
+    mask = (1 << bits) - 1
+    x = packed.astype(jnp.int32)
+    if layout == "split_half":
+        half = block // 2
+        b = x.reshape(rows * 2 // block, half, n)
+        lo = b & 0x0F
+        hi = (b >> 4) & 0x0F
+        return jnp.concatenate([lo, hi], axis=1).reshape(rows * 2, n)
+    if p == 1:
+        return x & mask
+    rep = jnp.repeat(x, p, axis=0)  # (rows*p, n)
+    shifts = (jax.lax.broadcasted_iota(jnp.int32, (rows * p, n), 0) % p) * bits
+    return (rep >> shifts) & mask
+
+
+def _codes_jnp(qt: QuantizedTensor, fmt: QuantFormat, npairs_or_k: int):
+    codes = None
+    shift = 0
+    for pl in fmt.planes:
+        part = _unpack_plane_jnp(qt.planes[pl.name], pl.bits, pl.layout, fmt.block)
+        part = part << shift
+        codes = part if codes is None else codes | part
+        shift += pl.bits
+    return codes
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Full-tensor dequantize (XLA). Mirrors codec_np.dequantize_np."""
+    fmt = get_format(qt.format)
+    k, n = qt.shape
+    scale = qt.scale.astype(jnp.float32)
+
+    if fmt.base_kind == "zero":
+        q = _codes_jnp(qt, fmt, k)
+        q = jnp.where(q >= 128, q - 256, q)
+        sc = jnp.repeat(scale, fmt.block, axis=0)
+        return (q.astype(jnp.float32) * sc).astype(dtype)
+
+    base = qt.base.astype(jnp.float32)
+    if fmt.pair_base11:
+        pair = _codes_jnp(qt, fmt, k // 2)  # (K/2, N), 7-bit base-11 codes
+        pf = pair.astype(jnp.float32)
+        v1 = jnp.floor((pf + 0.5) * (1.0 / 11.0))  # exact for 0..120
+        v0 = pf - 11.0 * v1
+        # value 2j -> v0[j], value 2j+1 -> v1[j]: interleave along axis 0
+        q = jnp.stack([v0, v1], axis=1).reshape(k, n)
+    else:
+        q = _codes_jnp(qt, fmt, k).astype(jnp.float32)
+    sc = jnp.repeat(scale, fmt.block, axis=0)
+    bs = jnp.repeat(base, fmt.block, axis=0)
+    return (q * sc + bs).astype(dtype)
+
+
+def quantize_q8_sym(x: jax.Array, block: int = 32):
+    """Q8_B32T2-style symmetric rowwise-block quantization (device-side).
+
+    Quantizes along the LAST axis in blocks; returns (codes int8, scale f16
+    with one entry per block).  Used for the quantized KV cache and int8
+    activation quant (reference: kernels/tensor_quant.h, kv_cache.cc:104-249).
+    """
+    orig_shape = x.shape
+    nb = orig_shape[-1] // block
+    xb = x.astype(jnp.float32).reshape(orig_shape[:-1] + (nb, block))
+    m0 = jnp.max(jnp.abs(xb), axis=-1)
+    scale = m0 / 127.0
+    inv = jnp.where(scale >= 1e-5, 1.0 / jnp.where(scale == 0, 1, scale), 0.0)
+    q = jnp.round(xb * inv[..., None])
+    q = jnp.clip(q, -128, 127).astype(jnp.int8).reshape(orig_shape)
+    return q, scale.astype(jnp.float16)
+
+
+def dequantize_q8_sym(codes: jax.Array, scale: jax.Array, block: int = 32,
+                      dtype=jnp.bfloat16):
+    shape = codes.shape
+    nb = shape[-1] // block
+    q = codes.astype(jnp.float32).reshape(shape[:-1] + (nb, block))
+    out = q * scale.astype(jnp.float32)[..., None]
+    return out.reshape(shape).astype(dtype)
+
+
+def quantize(x: jax.Array, fmt_name: str) -> QuantizedTensor:
+    """Quantize a (K, N) array on device (jit-able), any block format.
+
+    Value-identical to codec_np.quantize_np.
+    """
+    fmt = get_format(fmt_name)
+    k, n = x.shape
+    xb = x.astype(jnp.float32).reshape(k // fmt.block, fmt.block, n)
+    vmin = xb.min(axis=1)
+    vmax = xb.max(axis=1)
+
+    if fmt.base_kind == "zero":
+        m0 = jnp.maximum(jnp.abs(vmin), jnp.abs(vmax))
+        scale = m0 / fmt.scale_div
+        inv = jnp.where(scale >= 1e-5, 1.0 / jnp.where(scale == 0, 1, scale), 0.0)
+        qf0 = xb * inv[:, None, :]
+        q = jnp.trunc(qf0 + jnp.copysign(0.5, qf0))  # C round(): half away from zero
+        q = jnp.clip(q, -128, 127).astype(jnp.int32) & 0xFF
+        planes = _pack_planes_jnp(q.reshape(k, n), fmt)
+        return QuantizedTensor(fmt.name, (k, n), planes,
+                               scale.astype(jnp.float16), None)
+
+    base_q = vmin
+    if fmt.adjust_base:
+        u8 = (jnp.trunc(vmin * 100.0 + 100.01).astype(jnp.int32)) & 0xFF
+        base_q = u8.astype(jnp.float32) / 100.0 - 1.0
+    scale = (vmax - base_q) / fmt.scale_div
+    inv = jnp.where(scale >= 1e-5, 1.0 / jnp.where(scale == 0, 1, scale), 0.0)
+    stored_base = base_q + 0.5 * scale if fmt.base_kind == "mid" else base_q
+
+    if fmt.meta == "u8":
+        su8 = jnp.clip(jnp.trunc(scale * 1000.0 + 0.5), 0, 255)
+        scale_stored = (su8 / 1000.0).astype(jnp.float32)
+        bu8 = (jnp.trunc(stored_base * 100.0 + 100.5).astype(jnp.int32)) & 0xFF
+        base_stored = (bu8.astype(jnp.float32) / 100.0 - 1.0)
+    else:
+        scale_stored = scale.astype(jnp.float16)
+        base_stored = stored_base.astype(jnp.float16)
+
+    qf = (xb - base_q[:, None, :]) * inv[:, None, :]
+    if fmt.rounding == "half_up":
+        q = jnp.trunc(qf + 0.5)
+    elif fmt.rounding == "trunc_eps":
+        q = jnp.trunc(qf + 0.0001)
+    else:
+        q = jnp.trunc(qf + jnp.copysign(0.5, qf))
+    if fmt.pair_base11:
+        q = jnp.clip(q, 0, fmt.max_code)
+    else:
+        # mirror the reference's uint32-cast-then-clamp (see codec_np)
+        q = jnp.where(q < 0, fmt.max_code, jnp.minimum(q, fmt.max_code))
+    q = q.astype(jnp.int32).reshape(k, n)
+
+    if fmt.pair_base11:
+        q = q.reshape(k // 2, 2, n)
+        pair = q[:, 0] + 11 * q[:, 1]
+        planes = _pack_planes_jnp(pair, fmt)
+    else:
+        planes = _pack_planes_jnp(q, fmt)
+    return QuantizedTensor(fmt.name, (k, n), planes, scale_stored, base_stored)
+
+
+def _pack_planes_jnp(codes: jax.Array, fmt: QuantFormat) -> dict:
+    planes = {}
+    shift = 0
+    for pl in fmt.planes:
+        part = (codes >> shift) & ((1 << pl.bits) - 1)
+        planes[pl.name] = _pack_plane_jnp(part, pl.bits, pl.layout, fmt.block)
+        shift += pl.bits
+    return planes
+
+
+def _pack_plane_jnp(values: jax.Array, bits: int, layout: str, block: int):
+    p = 8 // bits
+    k, n = values.shape
+    if layout == "split_half":
+        half = block // 2
+        v = values.reshape(k // block, block, n)
+        return (v[:, :half] | (v[:, half:] << 4)).reshape(k // 2, n).astype(jnp.uint8)
+    v = values.reshape(k // p, p, n)
+    out = jnp.zeros((k // p, n), dtype=jnp.int32)
+    for i in range(p):
+        out = out | (v[:, i] << (i * bits))
+    return out.astype(jnp.uint8)
