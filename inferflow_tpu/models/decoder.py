@@ -1,0 +1,269 @@
+"""Decoder-only transformer forward (functional, jit-able).
+
+TPU-native re-design of the reference's GpuInferenceWorker layer loop
+(src/transformer/inference_worker.cc:234-981): instead of per-device worker
+threads with ping-pong heaps, one pure function over a params pytree, with
+the KV cache threaded as a donated carry.  Covers the reference's
+architecture knobs: GQA, fused/split QKV, RoPE column orders + partial
+rotary, ALiBi, parallel-attention (Falcon/Phi), pre/post norms with
+norm_base, GLU FFNs, MoE with shared experts and layer ranges, embedding
+scaling, tied/untied lm_head.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.activations import activate
+from ..ops.attention import mha
+from ..ops.linear import linear
+from ..ops.norms import apply_norm, linear_norm
+from ..ops.rope import alibi_bias, rope, sinusoidal_embedding
+from ..runtime.kv_cache import KVCache
+from .spec import ModelSpec
+
+
+def _norm(spec: ModelSpec, x, layer_params, prefix: str, base: float = 0.0):
+    w = layer_params.get(f"{prefix}")
+    b = layer_params.get(f"{prefix}_b")
+    if w is None and b is None:
+        return x
+    return apply_norm(spec.norm_alg, x, w, b, spec.norm_eps, base)
+
+
+def _split_qkv(spec: ModelSpec, qkv, n_heads, n_kv_heads, head_dim):
+    """Split a fused QKV projection output.
+
+    qkv_format=1: concatenated [Q | K | V] (model.h:109).
+    qkv_format=0: interleaved by head group — each of the n_kv_heads groups
+    carries (group q heads, 1 k head, 1 v head) contiguously, the layout
+    produced when checkpoints store per-head interleaved QKV
+    (reference AssignColumns de-interleave, tensor_opr.h:46).
+    """
+    b, t, _ = qkv.shape
+    q_dim = n_heads * head_dim
+    kv_dim = n_kv_heads * head_dim
+    if spec.qkv_format == 1:
+        q = qkv[..., :q_dim]
+        k = qkv[..., q_dim:q_dim + kv_dim]
+        v = qkv[..., q_dim + kv_dim:q_dim + 2 * kv_dim]
+    else:
+        group = n_heads // n_kv_heads
+        per = (group + 2) * head_dim
+        x = qkv.reshape(b, t, n_kv_heads, per)
+        q = x[..., :group * head_dim].reshape(b, t, q_dim)
+        k = x[..., group * head_dim:(group + 1) * head_dim].reshape(b, t, kv_dim)
+        v = x[..., (group + 1) * head_dim:].reshape(b, t, kv_dim)
+    return q, k, v
+
+
+def attention_block(spec: ModelSpec, lp: dict, x, positions, cache: Optional[KVCache],
+                    layer_idx: int, *, use_pallas: bool = True):
+    """Self-attention sub-layer; returns (output, updated cache)."""
+    hp = spec.hyper_params
+    n_heads = hp.decoder_heads
+    n_kv = hp.kv_heads
+    head_dim = hp.head_dim
+    b, t, _ = x.shape
+
+    if "qkv" in lp:
+        qkv = linear(x, lp["qkv"], lp.get("qkv_b"), use_pallas=use_pallas)
+        q, k, v = _split_qkv(spec, qkv, n_heads, n_kv, head_dim)
+    else:
+        q = linear(x, lp["wq"], lp.get("wq_b"), use_pallas=use_pallas)
+        k = linear(x, lp["wk"], lp.get("wk_b"), use_pallas=use_pallas)
+        v = linear(x, lp["wv"], lp.get("wv_b"), use_pallas=use_pallas)
+
+    q = q.reshape(b, t, n_heads, head_dim)
+    k = k.reshape(b, t, n_kv, head_dim)
+    v = v.reshape(b, t, n_kv, head_dim)
+
+    if spec.pos_embedding_alg == "rope":
+        rd = spec.effective_rope_dim()
+        q = rope(q, positions, base=spec.rope_theta, order=spec.rope_order,
+                 rope_dim=rd)
+        k = rope(k, positions, base=spec.rope_theta, order=spec.rope_order,
+                 rope_dim=rd)
+
+    bias = None
+    if cache is not None:
+        cache = cache.update_layer(layer_idx, k, v, cache.length)
+        k_full, v_full = cache.read_layer(layer_idx, x.dtype)
+        kv_len = cache.length + t
+        if spec.pos_embedding_alg == "alibi":
+            bias = alibi_bias(n_heads, jnp.arange(cache.max_len))
+        out = mha(q, k_full, v_full, q_positions=positions, kv_len=kv_len,
+                  kq_scale=spec.kq_scale, bias=bias)
+    else:
+        if spec.pos_embedding_alg == "alibi":
+            bias = alibi_bias(n_heads, jnp.arange(t))
+        out = mha(q, k, v, q_positions=positions, kq_scale=spec.kq_scale,
+                  bias=bias)
+
+    out = out.reshape(b, t, n_heads * head_dim)
+    out = linear(out, lp["wo"], lp.get("wo_b"), use_pallas=use_pallas)
+    if spec.attn_out_scale != 1.0:
+        out = out * spec.attn_out_scale
+    return out, cache
+
+
+def ffn_block(spec: ModelSpec, lp: dict, x, *, use_pallas: bool = True):
+    """Dense FFN: w1 (+w3 gate) -> activation -> w2
+    (reference ProcessGpuLayer_FeedForward, inference_worker.cc:1726-1903)."""
+    if "w1n3" in lp:
+        h = linear(x, lp["w1n3"], lp.get("w1n3_b"), use_pallas=use_pallas)
+        inter = h.shape[-1] // 2
+        a, g = h[..., :inter], h[..., inter:]
+    else:
+        a = linear(x, lp["w1"], lp.get("w1_b"), use_pallas=use_pallas)
+        g = None
+        if "w3" in lp:
+            g = linear(x, lp["w3"], lp.get("w3_b"), use_pallas=use_pallas)
+    h = activate(spec.activation_fn, a, g)
+    out = linear(h, lp["w2"], lp.get("w2_b"), use_pallas=use_pallas)
+    if spec.ffn_out_scale != 1.0:
+        out = out * spec.ffn_out_scale
+    return out
+
+
+def moe_block(spec: ModelSpec, lp: dict, x, *, use_pallas: bool = True):
+    """Sparse-MoE FFN: on-device top-k routing + expert mix.
+
+    The reference routes on the HOST (BuildRowsForMoE, host_tensor_opr.h:55,
+    with a device->host logits round trip, inference_worker.cc:1924-2146);
+    here routing stays on device as a dense one-hot combine — XLA-friendly
+    static shapes, no gather round trips.
+    """
+    hp = spec.hyper_params
+    top_k = hp.moe_top_k or 2
+    experts = lp["experts"]
+    n_exp = len(experts)
+
+    gate_logits = linear(x, lp["gate"], lp.get("gate_b"),
+                         use_pallas=use_pallas).astype(jnp.float32)
+    probs = jax.nn.softmax(gate_logits, axis=-1)  # (B, T, E)
+    top_vals, top_idx = jax.lax.top_k(probs, top_k)
+    if hp.moe_norm_top_k_prob:
+        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    # dense combine weights (B, T, E)
+    onehot = jax.nn.one_hot(top_idx, n_exp, dtype=jnp.float32)  # (B,T,K,E)
+    combine = jnp.einsum("btke,btk->bte", onehot, top_vals)
+
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e, elp in enumerate(experts):
+        y = ffn_block(spec, elp, x, use_pallas=use_pallas)
+        out = out + y.astype(jnp.float32) * combine[..., e:e + 1]
+    if "shared" in lp and lp["shared"]:
+        out = out + ffn_block(spec, lp["shared"], x,
+                              use_pallas=use_pallas).astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
+                  cache: Optional[KVCache], layer_idx: int, *,
+                  use_pallas: bool = True):
+    """One decoder layer honoring is_parallel_attn / mlp_attn_share_input /
+    is_attn_post_as_residual (inference_worker.cc:762-981)."""
+    attn_p = lp["attn"]
+    residual = x
+
+    h = x
+    if spec.use_self_attn_pre_norm:
+        h = _norm(spec, x, attn_p, "pre_norm", spec.attn_pre_norm_base)
+    attn_out, cache = attention_block(spec, attn_p, h, positions, cache,
+                                      layer_idx, use_pallas=use_pallas)
+
+    if spec.is_parallel_attn:
+        # Falcon/Phi: FFN reads the same (normed) input; outputs summed
+        ffn_in = h if spec.mlp_attn_share_input else _norm(
+            spec, x, lp.get("ffn", lp.get("moe", {})), "pre_norm",
+            spec.ffn_pre_norm_base)
+        if "moe" in lp:
+            ffn_out = moe_block(spec, lp["moe"], ffn_in, use_pallas=use_pallas)
+        else:
+            ffn_out = ffn_block(spec, lp["ffn"], ffn_in, use_pallas=use_pallas)
+        return residual + attn_out + ffn_out, cache
+
+    attn_out = _norm(spec, attn_out, attn_p, "post_norm")
+    if spec.is_attn_post_as_residual:
+        x = residual + attn_out
+    else:
+        x = attn_out
+
+    residual = x
+    if "moe" in lp:
+        mp = lp["moe"]
+        h = _norm(spec, x, mp, "pre_norm", spec.ffn_pre_norm_base)
+        ffn_out = moe_block(spec, mp, h, use_pallas=use_pallas)
+        ffn_out = _norm(spec, ffn_out, mp, "post_norm")
+    else:
+        fp = lp["ffn"]
+        h = _norm(spec, x, fp, "pre_norm", spec.ffn_pre_norm_base)
+        ffn_out = ffn_block(spec, fp, h, use_pallas=use_pallas)
+        ffn_out = _norm(spec, ffn_out, fp, "post_norm")
+    return residual + ffn_out, cache
+
+
+def embed_tokens(spec: ModelSpec, params: dict, tokens, positions):
+    """Token embedding + pre-layer transforms
+    (ProcessPreLayer, inference_worker.cc:435-550)."""
+    emb = params["dec_embeddings"]
+    x = jnp.take(emb, tokens, axis=0).astype(jnp.bfloat16)
+    if spec.has_embedding_linear_norm:
+        x = linear_norm(x, spec.embedding_linear_scale)
+    if spec.pos_embedding_alg in ("sinusoidal", "sinusoidal2"):
+        if spec.has_linear_norm_before_sinusoidal and not spec.has_embedding_linear_norm:
+            x = linear_norm(x, spec.embedding_linear_scale)
+        scheme = 1 if spec.pos_embedding_alg == "sinusoidal" else 2
+        pe = sinusoidal_embedding(positions.reshape(-1), x.shape[-1],
+                                  scheme=scheme, order=2)
+        x = x + pe.reshape(x.shape).astype(x.dtype)
+    if "dec_pos_embeddings" in params:  # learned positions (OPT/BERT style)
+        off = spec.pos_embedding_offset
+        x = x + jnp.take(params["dec_pos_embeddings"], positions + off,
+                         axis=0).astype(x.dtype)
+    if "dec_input_norm" in params:
+        x = apply_norm(spec.norm_alg, x, params.get("dec_input_norm"),
+                       params.get("dec_input_norm_b"), spec.norm_eps)
+    return x
+
+
+def output_logits(spec: ModelSpec, params: dict, x, *, use_pallas: bool = True):
+    """Output norm + lm_head (ProcessPostLayer, inference_worker.cc:552-679)."""
+    x = apply_norm(spec.norm_alg, x, params.get("dec_output_norm"),
+                   params.get("dec_output_norm_b"), spec.norm_eps,
+                   spec.output_norm_base)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["dec_embeddings"].T  # tied weights
+    if spec.normalize_lm_head and not isinstance(head, jax.Array):
+        raise NotImplementedError("normalize_lm_head on quantized head")
+    if spec.normalize_lm_head:
+        head = head / jnp.linalg.norm(head.astype(jnp.float32), axis=0,
+                                      keepdims=True).astype(head.dtype)
+    logits = linear(x, head, params.get("lm_head_b"), use_pallas=use_pallas)
+    if spec.out_scale != 1.0:
+        logits = logits * spec.out_scale
+    return logits.astype(jnp.float32)
+
+
+def decoder_forward(spec: ModelSpec, params: dict, tokens, positions,
+                    cache: Optional[KVCache] = None, *,
+                    use_pallas: bool = True
+                    ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Full decoder forward.
+
+    tokens/positions: (B, T) int32; positions are absolute (cache offsets).
+    Returns (logits (B, T, V) float32, updated cache).
+    """
+    x = embed_tokens(spec, params, tokens, positions)
+    for i, lp in enumerate(params["layers"]):
+        x, cache = decoder_layer(spec, lp, x, positions, cache, i,
+                                 use_pallas=use_pallas)
+    logits = output_logits(spec, params, x, use_pallas=use_pallas)
+    if cache is not None:
+        cache = cache.with_length(cache.length + tokens.shape[1])
+    return logits, cache

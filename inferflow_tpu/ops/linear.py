@@ -1,0 +1,49 @@
+"""Linear layer dispatch over dense or quantized weights.
+
+The TPU analog of the reference's MatrixMultiplication dispatch
+(inference_worker.cc:2364-2431): decode-shaped inputs hit the fused
+dequant-matmul Pallas kernel (weights stay packed in HBM, dequantized in
+VMEM tiles); otherwise we fall back to XLA dequant + matmul.  The fallback
+is also the CPU/test path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.codec_jax import QuantizedTensor, dequantize
+
+Weight = Union[jax.Array, QuantizedTensor]
+
+# toggled by runtime config / tests; pallas kernels register here
+_PALLAS_MATMUL = None
+
+
+def register_pallas_matmul(fn):
+    global _PALLAS_MATMUL
+    _PALLAS_MATMUL = fn
+
+
+def linear(x: jax.Array, w: Weight, bias: Optional[jax.Array] = None,
+           *, use_pallas: bool = True) -> jax.Array:
+    """y = x @ w (+ bias). x: (..., K); w: (K, N) dense or QuantizedTensor."""
+    if isinstance(w, QuantizedTensor):
+        if use_pallas and _PALLAS_MATMUL is not None:
+            y = _PALLAS_MATMUL(x, w)
+        else:
+            wd = dequantize(w, x.dtype)
+            y = jnp.matmul(x, wd, preferred_element_type=jnp.float32)
+            y = y.astype(x.dtype)
+    else:
+        y = jnp.matmul(x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def weight_shape(w: Weight) -> tuple:
+    return tuple(w.shape)
