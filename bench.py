@@ -1,0 +1,129 @@
+"""Benchmark: quantized decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
+
+Model: TinyLlama-1.1B-shaped decoder, 4-bit (Q4_B64T1) weights, Q8 KV cache,
+batch-1 greedy decode (the reference's headline protocol is batch-1 decode
+tokens/sec, llm_inference.cc:454-457; BASELINE.md targets tokens/sec/chip at
+4-bit decode).
+
+vs_baseline = fraction of memory-bandwidth speed-of-light for this chip and
+model (BASELINE.md north star: >=0.8 on the dequant-matmul loop):
+  SOL tokens/s = measured_streaming_BW / quantized_weight_bytes_per_token.
+The chip's streaming bandwidth is CALIBRATED at runtime with a chained
+decode-shaped matmul (the remote-tunnel runtime here has ~50ms fixed sync
+overhead and an async dispatch pipeline, so all timings are slope-based over
+two chained run lengths with a real host fetch at the end).
+
+Env knobs: INFERFLOW_BENCH_MODEL (zoo name), INFERFLOW_BENCH_QUANT,
+INFERFLOW_BENCH_CTX, INFERFLOW_BENCH_BATCH.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _timed_chain(fn, state, iters):
+    """Run fn chained `iters` times; time until a real host fetch lands."""
+    t0 = time.time()
+    s = state
+    for _ in range(iters):
+        s = fn(s)
+    leaf = jax.tree_util.tree_leaves(s)[0]
+    np.asarray(leaf)  # force completion through the tunnel
+    return time.time() - t0
+
+
+def slope_time(fn, state, lo=16, hi=64):
+    """Per-iteration seconds, with fixed dispatch/sync overhead removed."""
+    _timed_chain(fn, state, 2)  # warm
+    t_lo = _timed_chain(fn, state, lo)
+    t_hi = _timed_chain(fn, state, hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+
+def calibrate_bandwidth_gbps() -> float:
+    """Streaming HBM bandwidth via a chained decode-shaped matmul."""
+    k, n = 16384, 16384
+    w = jax.device_put(jnp.full((k, n), 1e-4, jnp.bfloat16))
+
+    @jax.jit
+    def step(x, w):
+        y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+        return (y * 1e-4).astype(jnp.bfloat16)
+
+    x = jnp.ones((8, k), jnp.bfloat16)
+    per_iter = slope_time(lambda s: step(s, w), x)
+    return w.nbytes / per_iter / 1e9
+
+
+def main():
+    from inferflow_tpu.models.zoo import (make_spec, make_synthetic_params,
+                                          model_weight_bytes)
+    from inferflow_tpu.models.decoder import decoder_forward_scan
+    from inferflow_tpu.runtime.kv_cache import KVCache
+
+    model_name = os.environ.get("INFERFLOW_BENCH_MODEL", "tinyllama-1.1b")
+    quant = os.environ.get("INFERFLOW_BENCH_QUANT", "Q4_B64T1")
+    ctx = int(os.environ.get("INFERFLOW_BENCH_CTX", "1024"))
+    batch = int(os.environ.get("INFERFLOW_BENCH_BATCH", "1"))
+
+    bw_gbps = calibrate_bandwidth_gbps()
+
+    spec = make_spec(model_name)
+    hp = spec.hyper_params
+    t0 = time.time()
+    params = make_synthetic_params(spec, weight_format=quant, stacked=True)
+    build_s = time.time() - t0
+
+    cache = KVCache.create(hp.decoder_layers, batch, ctx, hp.kv_heads,
+                           hp.head_dim, quantized=True)
+
+    @jax.jit
+    def decode_step_impl(params, state):
+        tok, cache = state
+        pos = cache.length[:, None]
+        logits, cache = decoder_forward_scan(spec, params, tok, pos, cache)
+        nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+        return nxt, cache
+
+    def decode_step(state):
+        return decode_step_impl(params, state)
+
+    # prefill a short prompt
+    plen = 16
+    prompt = jnp.zeros((batch, plen), jnp.int32)
+    ppos = jnp.broadcast_to(jnp.arange(plen)[None, :], (batch, plen))
+    logits, cache = jax.jit(
+        lambda p, t, ps, c: decoder_forward_scan(spec, p, t, ps, c)
+    )(params, prompt, ppos, cache)
+    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+
+    per_step = slope_time(decode_step, (tok, cache), lo=16, hi=64)
+    tps = batch / per_step
+
+    weight_bytes = model_weight_bytes(params)
+    sol_tps = bw_gbps * 1e9 / weight_bytes
+    result = {
+        "metric": f"decode tokens/s ({model_name}, {quant} weights, Q8 KV, "
+                  f"batch {batch}, ctx {ctx})",
+        "value": round(tps, 3),
+        "unit": "tokens/s",
+        "vs_baseline": round(tps / (sol_tps * batch), 4),
+    }
+    print(json.dumps(result))
+    print(f"# weight_bytes={weight_bytes/1e9:.2f}GB measured_bw={bw_gbps:.0f}GB/s "
+          f"sol={sol_tps:.1f}tok/s build={build_s:.1f}s "
+          f"step={per_step*1000:.2f}ms device={jax.devices()[0].device_kind}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

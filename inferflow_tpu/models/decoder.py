@@ -60,9 +60,14 @@ def _split_qkv(spec: ModelSpec, qkv, n_heads, n_kv_heads, head_dim):
     return q, k, v
 
 
-def attention_block(spec: ModelSpec, lp: dict, x, positions, cache: Optional[KVCache],
-                    layer_idx: int, *, use_pallas: bool = True):
-    """Self-attention sub-layer; returns (output, updated cache)."""
+def attention_block(spec: ModelSpec, lp: dict, x, positions,
+                    layer_cache: Optional[dict], *, use_pallas: bool = True):
+    """Self-attention sub-layer.
+
+    layer_cache: None, or a per-layer cache slice
+      {'k','v': (B,S,H,D) storage, 'k_scale','v_scale': opt, 'start': (B,)}
+    Returns (output, updated layer_cache).
+    """
     hp = spec.hyper_params
     n_heads = hp.decoder_heads
     n_kv = hp.kv_heads
@@ -89,12 +94,13 @@ def attention_block(spec: ModelSpec, lp: dict, x, positions, cache: Optional[KVC
                  rope_dim=rd)
 
     bias = None
-    if cache is not None:
-        cache = cache.update_layer(layer_idx, k, v, cache.length)
-        k_full, v_full = cache.read_layer(layer_idx, x.dtype)
-        kv_len = cache.length + t
+    if layer_cache is not None:
+        from ..runtime.kv_cache import update_layer_cache, read_layer_cache
+        layer_cache = update_layer_cache(layer_cache, k, v)
+        k_full, v_full = read_layer_cache(layer_cache, x.dtype)
+        kv_len = layer_cache["start"] + t
         if spec.pos_embedding_alg == "alibi":
-            bias = alibi_bias(n_heads, jnp.arange(cache.max_len))
+            bias = alibi_bias(n_heads, jnp.arange(k_full.shape[1]))
         out = mha(q, k_full, v_full, q_positions=positions, kv_len=kv_len,
                   kq_scale=spec.kq_scale, bias=bias)
     else:
@@ -107,7 +113,7 @@ def attention_block(spec: ModelSpec, lp: dict, x, positions, cache: Optional[KVC
     out = linear(out, lp["wo"], lp.get("wo_b"), use_pallas=use_pallas)
     if spec.attn_out_scale != 1.0:
         out = out * spec.attn_out_scale
-    return out, cache
+    return out, layer_cache
 
 
 def ffn_block(spec: ModelSpec, lp: dict, x, *, use_pallas: bool = True):
@@ -163,8 +169,7 @@ def moe_block(spec: ModelSpec, lp: dict, x, *, use_pallas: bool = True):
 
 
 def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
-                  cache: Optional[KVCache], layer_idx: int, *,
-                  use_pallas: bool = True):
+                  layer_cache: Optional[dict], *, use_pallas: bool = True):
     """One decoder layer honoring is_parallel_attn / mlp_attn_share_input /
     is_attn_post_as_residual (inference_worker.cc:762-981)."""
     attn_p = lp["attn"]
@@ -173,8 +178,8 @@ def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
     h = x
     if spec.use_self_attn_pre_norm:
         h = _norm(spec, x, attn_p, "pre_norm", spec.attn_pre_norm_base)
-    attn_out, cache = attention_block(spec, attn_p, h, positions, cache,
-                                      layer_idx, use_pallas=use_pallas)
+    attn_out, layer_cache = attention_block(spec, attn_p, h, positions,
+                                            layer_cache, use_pallas=use_pallas)
 
     if spec.is_parallel_attn:
         # Falcon/Phi: FFN reads the same (normed) input; outputs summed
@@ -185,7 +190,7 @@ def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
             ffn_out = moe_block(spec, lp["moe"], ffn_in, use_pallas=use_pallas)
         else:
             ffn_out = ffn_block(spec, lp["ffn"], ffn_in, use_pallas=use_pallas)
-        return residual + attn_out + ffn_out, cache
+        return residual + attn_out + ffn_out, layer_cache
 
     attn_out = _norm(spec, attn_out, attn_p, "post_norm")
     if spec.is_attn_post_as_residual:
@@ -204,7 +209,7 @@ def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
         h = _norm(spec, x, fp, "pre_norm", spec.ffn_pre_norm_base)
         ffn_out = ffn_block(spec, fp, h, use_pallas=use_pallas)
         ffn_out = _norm(spec, ffn_out, fp, "post_norm")
-    return residual + ffn_out, cache
+    return residual + ffn_out, layer_cache
 
 
 def embed_tokens(spec: ModelSpec, params: dict, tokens, positions):
@@ -259,10 +264,112 @@ def decoder_forward(spec: ModelSpec, params: dict, tokens, positions,
     tokens/positions: (B, T) int32; positions are absolute (cache offsets).
     Returns (logits (B, T, V) float32, updated cache).
     """
+    from ..runtime.kv_cache import layer_cache_slice, store_layer_cache
+
     x = embed_tokens(spec, params, tokens, positions)
     for i, lp in enumerate(params["layers"]):
-        x, cache = decoder_layer(spec, lp, x, positions, cache, i,
+        lc = None if cache is None else layer_cache_slice(cache, i)
+        x, lc = decoder_layer(spec, lp, x, positions, lc,
+                              use_pallas=use_pallas)
+        if cache is not None:
+            cache = store_layer_cache(cache, i, lc)
+    logits = output_logits(spec, params, x, use_pallas=use_pallas)
+    if cache is not None:
+        cache = cache.with_length(cache.length + tokens.shape[1])
+    return logits, cache
+
+
+def stack_layers(layers: list) -> dict:
+    """Stack homogeneous per-layer param dicts into one leading-L pytree
+    (for lax.scan over layers and layer-sharded pipeline parallelism)."""
+    import numpy as _np
+
+    def stack(vals):
+        if isinstance(vals[0], dict):
+            return {k: stack([v[k] for v in vals]) for k in vals[0]}
+        first = vals[0]
+        if hasattr(first, "planes"):  # QuantizedTensor
+            from ..quant.codec_jax import QuantizedTensor
+            planes = {k: jnp.stack([v.planes[k] for v in vals])
+                      for k in first.planes}
+            scale = jnp.stack([v.scale for v in vals])
+            base = (None if first.base is None
+                    else jnp.stack([v.base for v in vals]))
+            return QuantizedTensor(first.format,
+                                   (len(vals),) + tuple(first.shape),
+                                   planes, scale, base)
+        return jnp.stack([jnp.asarray(v) for v in vals])
+
+    keys = set()
+    for l in layers:
+        keys.update(l.keys())
+    if any(set(l.keys()) != keys for l in layers):
+        raise ValueError("layers are not homogeneous; cannot stack")
+    return stack(layers)
+
+
+def _index_layer(stacked, i):
+    """Select layer i from a stacked layer pytree (inside scan)."""
+    from ..quant.codec_jax import QuantizedTensor
+
+    def sel(v):
+        if isinstance(v, dict):
+            return {k: sel(x) for k, x in v.items()}
+        if isinstance(v, QuantizedTensor):
+            return QuantizedTensor(v.format, tuple(v.shape[1:]),
+                                   {k: p[i] for k, p in v.planes.items()},
+                                   v.scale[i],
+                                   None if v.base is None else v.base[i])
+        return v[i]
+
+    return sel(stacked)
+
+
+def decoder_forward_scan(spec: ModelSpec, params: dict, tokens, positions,
+                         cache: Optional[KVCache] = None, *,
+                         use_pallas: bool = True
+                         ) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Decoder forward with lax.scan over stacked layers.
+
+    params['layers'] must be a stacked pytree (see stack_layers).  This is
+    the fast-compile path for deep models and the vehicle for layer-sharded
+    (pipeline) parallelism: shard the stacked leading axis over the 'pp'
+    mesh axis (parallel/sharding.py).
+    """
+    from ..runtime.kv_cache import (layer_cache_slice, store_layer_cache)
+
+    stacked = params["layers"]
+    n_layers = spec.hyper_params.decoder_layers
+    x = embed_tokens(spec, params, tokens, positions)
+
+    if cache is None:
+        def body(h, lp):
+            h, _ = decoder_layer(spec, lp, h, positions, None,
                                  use_pallas=use_pallas)
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+    else:
+        lc_stacked = {
+            "k": cache.k, "v": cache.v,
+            "k_scale": cache.k_scale, "v_scale": cache.v_scale,
+        }
+
+        def body(h, xs):
+            lp, lc = xs
+            lc = dict(lc, start=cache.length)
+            if lc["k_scale"] is None:
+                lc.pop("k_scale"), lc.pop("v_scale")
+            h, lc = decoder_layer(spec, lp, h, positions, lc,
+                                  use_pallas=use_pallas)
+            out = {"k": lc["k"], "v": lc["v"],
+                   "k_scale": lc.get("k_scale"), "v_scale": lc.get("v_scale")}
+            return h, out
+
+        x, new_lc = jax.lax.scan(body, x, (stacked, lc_stacked))
+        cache = KVCache(new_lc["k"], new_lc["v"], new_lc["k_scale"],
+                        new_lc["v_scale"], cache.length)
+
     logits = output_logits(spec, params, x, use_pallas=use_pallas)
     if cache is not None:
         cache = cache.with_length(cache.length + tokens.shape[1])

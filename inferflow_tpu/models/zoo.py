@@ -1,0 +1,128 @@
+"""Synthetic model builder + named architecture configs.
+
+Builds randomly-initialized models with real production shapes for
+benchmarking and the driver's compile checks (no network egress: weights
+are generated on device, layer by layer, and quantized in place).
+Architecture shapes mirror the reference's model zoo entries
+(/root/reference/data/models/*/model_spec.json).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant.codec_jax import QuantizedTensor, quantize
+from .spec import HyperParams, ModelSpec
+
+CONFIGS = {
+    # name: (layers, embd, heads, kv_heads, intermediate, vocab)
+    "test-tiny": dict(layers=2, embd=64, heads=4, kv_heads=4, inter=128,
+                      vocab=256),
+    "stories15m": dict(layers=6, embd=288, heads=6, kv_heads=6, inter=768,
+                       vocab=32000),
+    "tinyllama-1.1b": dict(layers=22, embd=2048, heads=32, kv_heads=4,
+                           inter=5632, vocab=32000),
+    "llama2-7b": dict(layers=32, embd=4096, heads=32, kv_heads=32,
+                      inter=11008, vocab=32000),
+    "llama2-13b": dict(layers=40, embd=5120, heads=40, kv_heads=40,
+                       inter=13824, vocab=32000),
+}
+
+
+def make_spec(name: str, **overrides) -> ModelSpec:
+    cfg = dict(CONFIGS[name])
+    cfg.update({k: overrides.pop(k) for k in list(overrides)
+                if k in ("layers", "embd", "heads", "kv_heads", "inter",
+                         "vocab")})
+    hp = HyperParams(vocab_size=cfg["vocab"], embd_dims=cfg["embd"],
+                     decoder_layers=cfg["layers"], decoder_heads=cfg["heads"],
+                     decoder_kv_heads=cfg["kv_heads"], hidden_dim=cfg["embd"],
+                     decoder_intermediate_size=cfg["inter"])
+    spec = ModelSpec(sid=name, hyper_params=hp, norm_alg="rms",
+                     activation_fn="silu", pos_embedding_alg="rope",
+                     qk_column_order=2, **overrides)
+    return spec
+
+
+def _maybe_quant(w, weight_format: Optional[str]):
+    if weight_format in (None, "F16", "BF16", "F32"):
+        return w.astype(jnp.bfloat16)
+    return quantize(w, weight_format)
+
+
+def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
+                          seed: int = 0, stacked: bool = True) -> dict:
+    """Random params, generated and quantized on device (layer-by-layer to
+    bound host/HBM staging)."""
+    hp = spec.hyper_params
+    E, I, V = hp.embd_dims, hp.decoder_intermediate_size, hp.vocab_size
+    q_dim = hp.decoder_heads * hp.head_dim
+    kv_dim = hp.kv_heads * hp.head_dim
+    key = jax.random.PRNGKey(seed)
+
+    def rand(key, k, n):
+        scale = 0.5 / np.sqrt(k)
+        return jax.random.normal(key, (k, n), dtype=jnp.float32) * scale
+
+    @jax.jit
+    def gen_layer(key):
+        ks = jax.random.split(key, 7)
+        return {
+            "wq": rand(ks[0], E, q_dim), "wk": rand(ks[1], E, kv_dim),
+            "wv": rand(ks[2], E, kv_dim), "wo": rand(ks[3], q_dim, E),
+            "w1": rand(ks[4], E, I), "w2": rand(ks[5], I, E),
+            "w3": rand(ks[6], E, I),
+        }
+
+    layers = []
+    for i in range(hp.decoder_layers):
+        key, sub = jax.random.split(key)
+        raw = gen_layer(sub)
+        layer = {
+            "attn": {"pre_norm": jnp.ones((E,), jnp.bfloat16),
+                     **{k: _maybe_quant(raw[k], weight_format)
+                        for k in ("wq", "wk", "wv", "wo")}},
+            "ffn": {"pre_norm": jnp.ones((E,), jnp.bfloat16),
+                    **{k: _maybe_quant(raw[k], weight_format)
+                       for k in ("w1", "w2", "w3")}},
+        }
+        layers.append(layer)
+
+    key, k1, k2 = jax.random.split(key, 3)
+    emb = jax.random.normal(k1, (V, E), dtype=jnp.float32) * 0.02
+    head = rand(k2, E, V)
+    params = {
+        "dec_embeddings": emb.astype(jnp.bfloat16),
+        "dec_output_norm": jnp.ones((E,), jnp.bfloat16),
+        "lm_head": _maybe_quant(head, weight_format),
+        "layers": layers,
+    }
+    if stacked:
+        from .decoder import stack_layers
+        params["layers"] = stack_layers(params["layers"])
+    return params
+
+
+def model_weight_bytes(params: dict) -> int:
+    """Total bytes of all weights (quantized tensors count packed bytes)."""
+    total = 0
+
+    def visit(v):
+        nonlocal total
+        if isinstance(v, dict):
+            for x in v.values():
+                visit(x)
+        elif isinstance(v, list):
+            for x in v:
+                visit(x)
+        elif isinstance(v, QuantizedTensor):
+            total += v.nbytes
+        elif hasattr(v, "nbytes"):
+            total += v.nbytes
+
+    visit(params)
+    return total

@@ -1,0 +1,82 @@
+"""Device mesh construction.
+
+Replaces the reference's device-group machinery (`devices = 0&1;2&3`,
+inference_engine.cc:1738-1812, GpuInfGlobalData phase barrier) with a
+jax.sharding.Mesh: BY_TENSOR -> 'tp' axis, BY_LAYER -> 'pp' axis,
+HYBRID -> both, plus a data axis for batched serving.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def factor_mesh(n_devices: int) -> Tuple[int, int, int]:
+    """Pick (dp, pp, tp) factors for n devices: favor tp, then pp, then dp."""
+    if n_devices <= 1:
+        return (1, 1, 1)
+    tp = 1
+    rem = n_devices
+    for cand in (8, 4, 2):
+        if rem % cand == 0:
+            tp = cand
+            rem //= cand
+            break
+    pp = 1
+    for cand in (4, 2):
+        if rem % cand == 0:
+            pp = cand
+            rem //= cand
+            break
+    dp = rem
+    return (dp, pp, tp)
+
+
+def balanced_factors(n_devices: int) -> Tuple[int, int, int]:
+    """Spread devices over (dp, pp, tp) as evenly as possible (tp first):
+    8 -> (2,2,2), 4 -> (1,2,2), 16 -> (2,2,4)."""
+    dp = pp = tp = 1
+    rem = n_devices
+    axes = ["tp", "pp", "dp"]
+    i = 0
+    while rem % 2 == 0 and rem > 1:
+        if axes[i % 3] == "tp":
+            tp *= 2
+        elif axes[i % 3] == "pp":
+            pp *= 2
+        else:
+            dp *= 2
+        rem //= 2
+        i += 1
+    dp *= rem  # odd remainder goes to data parallel
+    return (dp, pp, tp)
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              dp: int = 0, pp: int = 0, tp: int = 0) -> Mesh:
+    """Create a ('dp','pp','tp') mesh. Zero dims are auto-factored."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if not (dp and pp and tp):
+        dp, pp, tp = factor_mesh(n)
+    assert dp * pp * tp == n, f"{dp}x{pp}x{tp} != {n} devices"
+    arr = np.array(devices).reshape(dp, pp, tp)
+    return Mesh(arr, ("dp", "pp", "tp"))
+
+
+def strategy_to_mesh(strategy: str, n_devices: int) -> Tuple[int, int, int]:
+    """Map the reference's MultiGpuStrategy names onto mesh factors
+    (network_structure.h:114-119)."""
+    s = strategy.lower()
+    if s == "by_tensor":
+        return (1, 1, n_devices)
+    if s == "by_layer":
+        return (1, n_devices, 1)
+    if s == "hybrid":
+        dp, pp, tp = factor_mesh(n_devices)
+        return (1, dp * pp, tp)
+    return factor_mesh(n_devices)

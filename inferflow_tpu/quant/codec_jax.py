@@ -108,9 +108,14 @@ def _codes_jnp(qt: QuantizedTensor, fmt: QuantFormat, npairs_or_k: int):
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Full-tensor dequantize (XLA). Mirrors codec_np.dequantize_np."""
+    """Full-tensor dequantize (XLA). Mirrors codec_np.dequantize_np.
+
+    Uses the trailing (K, N) of qt.shape: a layer-stacked QuantizedTensor
+    sliced by lax.scan keeps its stacked aux shape while the plane leaves
+    are already per-layer 2-D.
+    """
     fmt = get_format(qt.format)
-    k, n = qt.shape
+    k, n = qt.shape[-2], qt.shape[-1]
     scale = qt.scale.astype(jnp.float32)
 
     if fmt.base_kind == "zero":

@@ -122,3 +122,47 @@ def _scatter_rows(cache: jax.Array, new: jax.Array, start: jax.Array):
         return jax.lax.dynamic_update_slice(c, n, idx)
 
     return jax.vmap(one)(cache, new, start)
+
+
+def layer_cache_slice(cache: KVCache, layer: int) -> dict:
+    """Per-layer cache view used by the decoder layer functions."""
+    lc = {"k": cache.k[layer], "v": cache.v[layer], "start": cache.length}
+    if cache.quantized:
+        lc["k_scale"] = cache.k_scale[layer]
+        lc["v_scale"] = cache.v_scale[layer]
+    return lc
+
+
+def store_layer_cache(cache: KVCache, layer: int, lc: dict) -> KVCache:
+    k = cache.k.at[layer].set(lc["k"])
+    v = cache.v.at[layer].set(lc["v"])
+    ks = cache.k_scale.at[layer].set(lc["k_scale"]) if cache.quantized else None
+    vs = cache.v_scale.at[layer].set(lc["v_scale"]) if cache.quantized else None
+    return KVCache(k, v, ks, vs, cache.length)
+
+
+def update_layer_cache(lc: dict, k_new: jax.Array, v_new: jax.Array) -> dict:
+    """Append (B, T, H, D) rows at lc['start']; quantizes if storage is int8."""
+    quantized = "k_scale" in lc
+    start = lc["start"]
+    out = dict(lc)
+    if quantized:
+        blk = kv_block_for(k_new.shape[-1])
+        kc, ks = quantize_q8_sym(k_new, blk)
+        vc, vs = quantize_q8_sym(v_new, blk)
+        out["k"] = _scatter_rows(lc["k"], kc, start)
+        out["v"] = _scatter_rows(lc["v"], vc, start)
+        out["k_scale"] = _scatter_rows(lc["k_scale"], ks, start)
+        out["v_scale"] = _scatter_rows(lc["v_scale"], vs, start)
+    else:
+        out["k"] = _scatter_rows(lc["k"], k_new.astype(lc["k"].dtype), start)
+        out["v"] = _scatter_rows(lc["v"], v_new.astype(lc["v"].dtype), start)
+    return out
+
+
+def read_layer_cache(lc: dict, dtype=jnp.bfloat16):
+    if "k_scale" in lc:
+        blk = kv_block_for(lc["k"].shape[-1])
+        return (dequantize_q8_sym(lc["k"], lc["k_scale"], blk, dtype),
+                dequantize_q8_sym(lc["v"], lc["v_scale"], blk, dtype))
+    return lc["k"].astype(dtype), lc["v"].astype(dtype)

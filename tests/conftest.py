@@ -7,6 +7,10 @@ bench.py on real TPU hardware.
 
 import os
 
+# The axon TPU plugin (sitecustomize in /root/.axon_site) force-sets
+# JAX_PLATFORMS=axon when PALLAS_AXON_POOL_IPS is present; clear it so tests
+# run on the virtual CPU mesh.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
