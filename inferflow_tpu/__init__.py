@@ -17,3 +17,12 @@ C++/CUDA serving engine (reference: /root/reference):
 """
 
 __version__ = "0.1.0"
+
+
+def _register_kernels():
+    """Register the Pallas fused dequant-matmul as the linear() fast path."""
+    from .kernels import register_default
+    register_default()
+
+
+_register_kernels()

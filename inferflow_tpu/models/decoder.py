@@ -287,6 +287,9 @@ def stack_layers(layers: list) -> dict:
     def stack(vals):
         if isinstance(vals[0], dict):
             return {k: stack([v[k] for v in vals]) for k in vals[0]}
+        if isinstance(vals[0], list):  # e.g. moe experts
+            n = len(vals[0])
+            return [stack([v[j] for v in vals]) for j in range(n)]
         first = vals[0]
         if hasattr(first, "planes"):  # QuantizedTensor
             from ..quant.codec_jax import QuantizedTensor
@@ -315,6 +318,8 @@ def _index_layer(stacked, i):
     def sel(v):
         if isinstance(v, dict):
             return {k: sel(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [sel(x) for x in v]
         if isinstance(v, QuantizedTensor):
             return QuantizedTensor(v.format, tuple(v.shape[1:]),
                                    {k: p[i] for k, p in v.planes.items()},

@@ -37,7 +37,7 @@ class HyperParams:
     vocab_size: int = 0
     padded_vocab_size: int = 0
     output_vocab_size: int = 0
-    embd_dims: int = 4096
+    embd_dims: int = 0
 
     encoder_layers: int = 0
     encoder_heads: int = 0
@@ -109,6 +109,7 @@ class ModelSpec:
     tensor_name_map: Dict[str, str] = dataclasses.field(default_factory=dict)
     tensor_name_pre_map: Dict[str, str] = dataclasses.field(default_factory=dict)
 
+    tie_word_embeddings: bool = False
     qk_column_order: int = 0
     qkv_format: int = 0  # 0: split by head then Q+K+V; 1: Q+K+V
     kq_scale: float = 1.0

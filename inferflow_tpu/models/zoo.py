@@ -30,6 +30,12 @@ CONFIGS = {
                       inter=11008, vocab=32000),
     "llama2-13b": dict(layers=40, embd=5120, heads=40, kv_heads=40,
                        inter=13824, vocab=32000),
+    # Mixtral-8x7B-shaped MoE (reference config:
+    # data/models/mixtral_8x7b_instruct_v0.1)
+    "mixtral-8x7b": dict(layers=32, embd=4096, heads=32, kv_heads=8,
+                         inter=14336, vocab=32000, experts=8, moe_top_k=2),
+    "test-moe": dict(layers=2, embd=64, heads=4, kv_heads=4, inter=128,
+                     vocab=256, experts=4, moe_top_k=2),
 }
 
 
@@ -37,11 +43,13 @@ def make_spec(name: str, **overrides) -> ModelSpec:
     cfg = dict(CONFIGS[name])
     cfg.update({k: overrides.pop(k) for k in list(overrides)
                 if k in ("layers", "embd", "heads", "kv_heads", "inter",
-                         "vocab")})
+                         "vocab", "experts", "moe_top_k")})
     hp = HyperParams(vocab_size=cfg["vocab"], embd_dims=cfg["embd"],
                      decoder_layers=cfg["layers"], decoder_heads=cfg["heads"],
                      decoder_kv_heads=cfg["kv_heads"], hidden_dim=cfg["embd"],
-                     decoder_intermediate_size=cfg["inter"])
+                     decoder_intermediate_size=cfg["inter"],
+                     experts=cfg.get("experts", 0),
+                     moe_top_k=cfg.get("moe_top_k", 0))
     spec = ModelSpec(sid=name, hyper_params=hp, norm_alg="rms",
                      activation_fn="silu", pos_embedding_alg="rope",
                      qk_column_order=2, **overrides)
@@ -50,6 +58,11 @@ def make_spec(name: str, **overrides) -> ModelSpec:
 
 def _maybe_quant(w, weight_format: Optional[str]):
     if weight_format in (None, "F16", "BF16", "F32"):
+        return w.astype(jnp.bfloat16)
+    from ..quant.formats import get_format
+    if w.shape[0] % get_format(weight_format).block != 0:
+        # K not a block multiple: keep dense (mirrors the loader's
+        # small/odd-tensor exemption, network_builder.cc:1648-1652)
         return w.astype(jnp.bfloat16)
     return quantize(w, weight_format)
 
@@ -78,6 +91,9 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
             "w3": rand(ks[6], E, I),
         }
 
+    def rand_host(key, k, n):
+        return rand(key, k, n)
+
     layers = []
     for i in range(hp.decoder_layers):
         key, sub = jax.random.split(key)
@@ -86,10 +102,25 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
             "attn": {"pre_norm": jnp.ones((E,), jnp.bfloat16),
                      **{k: _maybe_quant(raw[k], weight_format)
                         for k in ("wq", "wk", "wv", "wo")}},
-            "ffn": {"pre_norm": jnp.ones((E,), jnp.bfloat16),
-                    **{k: _maybe_quant(raw[k], weight_format)
-                       for k in ("w1", "w2", "w3")}},
         }
+        if hp.experts:
+            key, gk = jax.random.split(key)
+            experts = []
+            for e in range(hp.experts):
+                key, e1, e2, e3 = jax.random.split(key, 4)
+                experts.append({
+                    "w1": _maybe_quant(rand(e1, E, I), weight_format),
+                    "w2": _maybe_quant(rand(e2, I, E), weight_format),
+                    "w3": _maybe_quant(rand(e3, E, I), weight_format)})
+            layer["moe"] = {
+                "pre_norm": jnp.ones((E,), jnp.bfloat16),
+                "gate": rand(gk, E, hp.experts).astype(jnp.bfloat16),
+                "experts": experts,
+            }
+        else:
+            layer["ffn"] = {"pre_norm": jnp.ones((E,), jnp.bfloat16),
+                            **{k: _maybe_quant(raw[k], weight_format)
+                               for k in ("w1", "w2", "w3")}}
         layers.append(layer)
 
     key, k1, k2 = jax.random.split(key, 3)

@@ -1,0 +1,261 @@
+"""InferenceEngine: the serving facade with continuous batching.
+
+reference: src/transformer/inference_engine.{h,cc} — Init / AddQuery /
+Infer / CommitInferenceResult.  TPU-native redesign of the step loop
+(Infer_Gpu, inference_engine.cc:821-1124):
+
+  - The reference builds one ragged mixed prefill/decode batch with
+    per-query (start_row, prefix_len).  XLA wants static shapes, so the
+    engine compiles TWO programs: a bucketed single-query `prefill_step`
+    (prompt lengths padded to power-of-two buckets) and one batched
+    `decode_step` over all proc slots (B = max_concurrent_queries, one
+    token each).  Both share the slot-indexed KV cache; a prefill runs in
+    a (1, S_bucket) temp cache and is scattered into its slot.
+  - Sampling stays on host over one logits row per query
+    (SampleTokens, inference_engine.cc:1986-2106) via
+    sampling.DecodingStrategies.
+  - Saturation (context budget exhausted) emits an implicit EOS
+    (HandleSaturatedQueries, inference_engine.cc:1127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.decoder import decoder_forward_scan, decoder_forward, stack_layers
+from ..models.spec import ModelSpec
+from ..sampling.strategies import DecodingStrategies, SamplingOptions
+from .kv_cache import KVCache
+from .query_state import (DECODING, FINISHED, PREFILL, QueryState,
+                          QueryStateTable)
+
+
+@dataclasses.dataclass
+class InferenceResult:
+    """One step's outcome for one query
+    (reference InferenceResult, inference_types.h)."""
+
+    query_id: int
+    next_tokens: List[int]
+    is_end: bool
+    finish_reason: str = ""
+
+
+def _bucket(n: int, lo: int = 16, hi: int = 4096) -> int:
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_cache(cache: KVCache, tmp: KVCache, slot, length) -> KVCache:
+    def put(big, small):
+        return jax.lax.dynamic_update_slice(
+            big, small.astype(big.dtype),
+            (jnp.int32(0), slot) + (jnp.int32(0),) * (big.ndim - 2))
+
+    k = put(cache.k, tmp.k)
+    v = put(cache.v, tmp.v)
+    ks = put(cache.k_scale, tmp.k_scale) if cache.quantized else None
+    vs = put(cache.v_scale, tmp.v_scale) if cache.quantized else None
+    new_len = cache.length.at[slot].set(length)
+    return KVCache(k, v, ks, vs, new_len)
+
+
+class InferenceEngine:
+    """Single-model serving engine over one jax device/mesh."""
+
+    def __init__(self, spec: ModelSpec, params: dict,
+                 max_concurrent_queries: int = 8,
+                 max_context_len: int = 0,
+                 tokenizer=None, vocab=None,
+                 kv_cache_quantized: Optional[bool] = None,
+                 use_pallas: bool = True):
+        self.spec = spec
+        hp = spec.hyper_params
+        self.params = params
+        if isinstance(params.get("layers"), list):
+            self.params = dict(params, layers=stack_layers(params["layers"]))
+        self.tokenizer = tokenizer
+        self.vocab = vocab
+        self.max_slots = max_concurrent_queries
+        self.max_context_len = (max_context_len or spec.max_context_len)
+        if self.max_context_len <= 0:
+            self.max_context_len = hp.training_context_len
+        if self.max_context_len <= 0:
+            self.max_context_len = 2048
+        self.use_pallas = use_pallas
+
+        if kv_cache_quantized is None:
+            from ..quant.formats import is_quantized
+            kv_cache_quantized = is_quantized(spec.device_kv_cache_data_type)
+        self.table = QueryStateTable(self.max_slots)
+        self.cache = KVCache.create(
+            hp.decoder_layers, self.max_slots, self.max_context_len,
+            hp.kv_heads, hp.head_dim, quantized=kv_cache_quantized)
+        eos_ids = set()
+        if vocab is not None and getattr(vocab, "eos_id", -1) >= 0:
+            eos_ids.add(vocab.eos_id)
+        self.strategies = DecodingStrategies(eos_ids=eos_ids)
+        self.eos_ids = eos_ids
+        self._lock = threading.Lock()
+        self.perf_stat: Dict[str, float] = {}
+
+        self._decode_step = jax.jit(self._decode_impl, donate_argnums=(1,))
+        self._prefill_step = jax.jit(self._prefill_impl,
+                                     static_argnames=("bucket",))
+
+    # -- jitted programs -------------------------------------------------
+    def _decode_impl(self, tokens, cache, active):
+        """tokens (B,1) int32; active (B,) int32 mask."""
+        positions = cache.length[:, None]
+        logits, cache = decoder_forward_scan(
+            self.spec, self.params, tokens, positions, cache,
+            use_pallas=self.use_pallas)
+        cache = cache.with_length(cache.length - 1 + active)
+        return logits[:, -1, :], cache
+
+    def _prefill_impl(self, tokens, length, *, bucket: int):
+        """tokens (1, bucket) int32, length scalar; returns last-token
+        logits and the temp KV cache to scatter into the slot."""
+        hp = self.spec.hyper_params
+        tmp = KVCache.create(hp.decoder_layers, 1, bucket, hp.kv_heads,
+                             hp.head_dim, quantized=self.cache.quantized)
+        positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+        logits, tmp = decoder_forward_scan(
+            self.spec, self.params, tokens, positions, tmp,
+            use_pallas=self.use_pallas)
+        last = logits[0, length - 1, :]
+        return last, tmp
+
+    def _scatter_prefill(self, slot: int, tmp: KVCache, length: int):
+        """Copy a (1, bucket) temp cache into the main cache slot
+        (donated: no full-cache copy per prefill)."""
+        self.cache = _scatter_cache(self.cache, tmp, jnp.int32(slot),
+                                    jnp.int32(length))
+
+    # -- public API (reference: inference_engine.h facade) --------------
+    def add_query(self, prompt: Sequence[int] | str,
+                  sampling: Optional[SamplingOptions] = None,
+                  max_new_tokens: int = 256) -> int:
+        """Tokenize + admission control. Returns query_id, or -1 when at
+        max_concurrent_queries, -2 on empty/oversized input."""
+        if isinstance(prompt, str):
+            if self.tokenizer is None:
+                raise ValueError("string query but no tokenizer configured")
+            tokens = self.tokenizer.encode(prompt)
+        else:
+            tokens = list(prompt)
+        if not tokens or len(tokens) >= self.max_context_len:
+            return -2
+        with self._lock:
+            qid = self.table.add(tokens, sampling, max_new_tokens)
+        if qid > 0:
+            self.strategies.begin_query(qid, sampling or SamplingOptions())
+        return qid
+
+    def infer(self) -> List[InferenceResult]:
+        """One engine step: at most one prefill + one batched decode step
+        over all decoding slots (reference Infer, inference_engine.cc:821)."""
+        t0 = time.time()
+        results: List[InferenceResult] = []
+
+        with self._lock:
+            pending = self.table.prefill_pending()
+        if pending:
+            qs = pending[0]
+            tokens = qs.prompt_tokens
+            bucket = _bucket(len(tokens), hi=self.max_context_len)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :len(tokens)] = tokens
+            last_logits, tmp = self._prefill_step(
+                jnp.asarray(padded), jnp.int32(len(tokens)), bucket=bucket)
+            self._scatter_prefill(qs.slot, tmp, len(tokens))
+            row = np.asarray(last_logits, np.float32)
+            tok = self.strategies.choose_token(qs.query_id, row,
+                                              qs.prompt_tokens)
+            results.append(self._make_result(qs, tok))
+            qs.phase = DECODING
+            self.perf_stat["prefill_ms"] = (time.time() - t0) * 1e3
+
+        with self._lock:
+            # a query prefilled this step already produced its token
+            decoding = [q for q in self.table.decoding()
+                        if not any(r.query_id == q.query_id
+                                   for r in results)]
+        if decoding:
+            t1 = time.time()
+            tokens = np.zeros((self.max_slots, 1), np.int32)
+            active = np.zeros((self.max_slots,), np.int32)
+            by_slot: Dict[int, QueryState] = {}
+            for qs in decoding:
+                last = (qs.generated[-1] if qs.generated
+                        else qs.prompt_tokens[-1])
+                tokens[qs.slot, 0] = last
+                active[qs.slot] = 1
+                by_slot[qs.slot] = qs
+            logits, self.cache = self._decode_step(
+                jnp.asarray(tokens), self.cache, jnp.asarray(active))
+            rows = np.asarray(logits, np.float32)
+            for slot, qs in by_slot.items():
+                tok = self.strategies.choose_token(
+                    qs.query_id, rows[slot],
+                    qs.prompt_tokens + qs.generated)
+                results.append(self._make_result(qs, tok))
+            self.perf_stat["decode_ms"] = (time.time() - t1) * 1e3
+        return results
+
+    def _make_result(self, qs: QueryState, tok: int) -> InferenceResult:
+        is_eos = tok in self.eos_ids
+        saturated = (qs.context_len + 1 >= self.max_context_len
+                     or len(qs.generated) + 1 >= qs.max_new_tokens)
+        reason = "eos" if is_eos else ("length" if saturated else "")
+        return InferenceResult(qs.query_id, [tok], is_eos or saturated,
+                               reason)
+
+    def commit_inference_result(self, results: List[InferenceResult]) -> None:
+        """Append accepted tokens / finish queries
+        (reference CommitInferenceResult, inference_engine.cc:1357-1385)."""
+        with self._lock:
+            for r in results:
+                qs = self.table.get(r.query_id)
+                if qs is None or qs.phase == FINISHED:
+                    continue
+                for t in r.next_tokens:
+                    if t not in self.eos_ids:
+                        qs.generated.append(t)
+                if r.is_end:
+                    self.table.finish(r.query_id, r.finish_reason)
+                    self.strategies.end_query(r.query_id)
+
+    def has_work(self) -> bool:
+        with self._lock:
+            return bool(self.table.active)
+
+    def query_tokens(self, qid: int) -> List[int]:
+        qs = self.table.get(qid)
+        return list(qs.generated) if qs else []
+
+    def generate(self, prompt: Sequence[int] | str,
+                 sampling: Optional[SamplingOptions] = None,
+                 max_new_tokens: int = 64) -> List[int]:
+        """Convenience one-query loop (the llm_inference CLI path)."""
+        qid = self.add_query(prompt, sampling, max_new_tokens)
+        if qid < 0:
+            raise RuntimeError(f"add_query failed: {qid}")
+        while True:
+            results = self.infer()
+            self.commit_inference_result(results)
+            qs = self.table.get(qid)
+            if qs is None or qs.phase == FINISHED:
+                break
+        return self.query_tokens(qid)

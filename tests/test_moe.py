@@ -1,0 +1,88 @@
+"""MoE decoder tests (reference: ProcessGpuLayer_Moe,
+inference_worker.cc:1924-2146 — here with on-device routing)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from inferflow_tpu.models.zoo import make_spec, make_synthetic_params
+from inferflow_tpu.models.decoder import (decoder_forward,
+                                          decoder_forward_scan, ffn_block,
+                                          moe_block, stack_layers)
+from inferflow_tpu.runtime.engine import InferenceEngine
+from inferflow_tpu.sampling.strategies import SamplingOptions
+
+
+@pytest.fixture(scope="module")
+def moe_model():
+    spec = make_spec("test-moe")
+    spec.max_context_len = 64
+    params = make_synthetic_params(spec, weight_format=None, stacked=False)
+    return spec, params
+
+
+def test_moe_forward_finite(moe_model):
+    spec, params = moe_model
+    tokens = jnp.asarray([[3, 5, 7]], jnp.int32)
+    pos = jnp.arange(3)[None, :]
+    logits, _ = decoder_forward(spec, params, tokens, pos, None)
+    assert logits.shape == (1, 3, 256)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_moe_routing_matches_manual(moe_model):
+    """moe_block must equal the manual top-k mixture of expert FFNs."""
+    spec, params = moe_model
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 4, 64)) * 0.3, jnp.bfloat16)
+    mp = params["layers"][0]["moe"]
+    got = np.asarray(moe_block(spec, mp, x), np.float32)
+
+    gate = np.asarray(
+        jnp.matmul(x, mp["gate"].astype(x.dtype),
+                   preferred_element_type=jnp.float32), np.float32)
+    probs = np.exp(gate - gate.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    top_k = spec.hyper_params.moe_top_k
+    want = np.zeros_like(got)
+    for b in range(x.shape[0]):
+        for t in range(x.shape[1]):
+            idx = np.argsort(-probs[b, t])[:top_k]
+            w = probs[b, t, idx]
+            w = w / w.sum()
+            for j, e in enumerate(idx):
+                y = ffn_block(spec, mp["experts"][e], x[b:b + 1, t:t + 1])
+                want[b, t] += w[j] * np.asarray(y, np.float32)[0, 0]
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_moe_scan_matches_loop(moe_model):
+    spec, params = moe_model
+    stacked = dict(params, layers=stack_layers(params["layers"]))
+    tokens = jnp.asarray([[3, 5, 7, 11]], jnp.int32)
+    pos = jnp.arange(4)[None, :]
+    a, _ = decoder_forward(spec, params, tokens, pos, None)
+    b, _ = decoder_forward_scan(spec, stacked, tokens, pos, None)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=0.05, atol=0.05)
+
+
+def test_moe_engine_decode(moe_model):
+    spec, params = moe_model
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=False)
+    toks = eng.generate([3, 5, 7], SamplingOptions(strategy="greedy"),
+                        max_new_tokens=4)
+    assert len(toks) >= 3
+
+
+def test_moe_quantized_experts():
+    spec = make_spec("test-moe")
+    params = make_synthetic_params(spec, weight_format="Q8_B32T1",
+                                   stacked=False)
+    tokens = jnp.asarray([[3, 5]], jnp.int32)
+    pos = jnp.arange(2)[None, :]
+    logits, _ = decoder_forward(spec, params, tokens, pos, None)
+    assert bool(jnp.isfinite(logits).all())
