@@ -116,7 +116,10 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
         from ..quant.formats import get_format
         blk = get_format(et).block
         if k % blk == 0:
-            qt = codec_np.quantize_np(arr.astype(np.float16), et)
+            # native C++ codec (multithreaded), codec_np fallback
+            from ..quant.codec_native import quantize as _quantize
+            qt = _quantize(
+                arr.astype(np.float16).astype(np.float32), et)
             return QuantizedTensor.from_np(qt)
     # dense: norms/biases in fp32-accumulating bf16; embeddings bf16
     return jnp.asarray(arr.astype(np.float32), jnp.bfloat16)

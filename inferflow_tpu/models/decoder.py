@@ -212,11 +212,19 @@ def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
     return residual + ffn_out, layer_cache
 
 
-def embed_tokens(spec: ModelSpec, params: dict, tokens, positions):
+def embed_tokens(spec: ModelSpec, params: dict, tokens, positions,
+                 input_embeds=None):
     """Token embedding + pre-layer transforms
-    (ProcessPreLayer, inference_worker.cc:435-550)."""
-    emb = params["dec_embeddings"]
-    x = jnp.take(emb, tokens, axis=0).astype(jnp.bfloat16)
+    (ProcessPreLayer, inference_worker.cc:435-550).
+
+    input_embeds: optional pre-gathered (B, T, E) rows — the host-RAM
+    embedding path (reference be_host_embeddings + GetEmbdTensor,
+    inference_engine.cc:1298-1353)."""
+    if input_embeds is not None:
+        x = input_embeds.astype(jnp.bfloat16)
+    else:
+        emb = params["dec_embeddings"]
+        x = jnp.take(emb, tokens, axis=0).astype(jnp.bfloat16)
     if spec.has_embedding_linear_norm:
         x = linear_norm(x, spec.embedding_linear_scale)
     if spec.pos_embedding_alg in ("sinusoidal", "sinusoidal2"):
@@ -257,7 +265,7 @@ def output_logits(spec: ModelSpec, params: dict, x, *, use_pallas: bool = True):
 
 def decoder_forward(spec: ModelSpec, params: dict, tokens, positions,
                     cache: Optional[KVCache] = None, *,
-                    use_pallas: bool = True
+                    use_pallas: bool = True, input_embeds=None
                     ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Full decoder forward.
 
@@ -266,7 +274,7 @@ def decoder_forward(spec: ModelSpec, params: dict, tokens, positions,
     """
     from ..runtime.kv_cache import layer_cache_slice, store_layer_cache
 
-    x = embed_tokens(spec, params, tokens, positions)
+    x = embed_tokens(spec, params, tokens, positions, input_embeds)
     for i, lp in enumerate(params["layers"]):
         lc = None if cache is None else layer_cache_slice(cache, i)
         x, lc = decoder_layer(spec, lp, x, positions, lc,
@@ -311,6 +319,33 @@ def stack_layers(layers: list) -> dict:
     return stack(layers)
 
 
+def split_layers(layers, h: int):
+    """Split a layer collection into (first h as a list of per-layer
+    pytrees, remaining stacked pytree).  Accepts a stacked pytree or a
+    plain list.  Used by host-KV offload (runtime/host_offload.py)."""
+    if isinstance(layers, list):
+        prefix = layers[:h]
+        suffix = stack_layers(layers[h:]) if layers[h:] else None
+        return prefix, suffix
+    # stacked: slice per-layer for the prefix, narrow the suffix
+    prefix = [_index_layer(layers, i) for i in range(h)]
+
+    def tail(v):
+        if isinstance(v, dict):
+            return {k: tail(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [tail(x) for x in v]
+        from ..quant.codec_jax import QuantizedTensor
+        if isinstance(v, QuantizedTensor):
+            return QuantizedTensor(v.format, (v.shape[0] - h,) + tuple(v.shape[1:]),
+                                   {k: p[h:] for k, p in v.planes.items()},
+                                   v.scale[h:],
+                                   None if v.base is None else v.base[h:])
+        return v[h:]
+
+    return prefix, tail(layers)
+
+
 def _index_layer(stacked, i):
     """Select layer i from a stacked layer pytree (inside scan)."""
     from ..quant.codec_jax import QuantizedTensor
@@ -332,7 +367,7 @@ def _index_layer(stacked, i):
 
 def decoder_forward_scan(spec: ModelSpec, params: dict, tokens, positions,
                          cache: Optional[KVCache] = None, *,
-                         use_pallas: bool = True
+                         use_pallas: bool = True, input_embeds=None
                          ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Decoder forward with lax.scan over stacked layers.
 
@@ -343,10 +378,23 @@ def decoder_forward_scan(spec: ModelSpec, params: dict, tokens, positions,
     """
     from ..runtime.kv_cache import (layer_cache_slice, store_layer_cache)
 
-    stacked = params["layers"]
-    n_layers = spec.hyper_params.decoder_layers
-    x = embed_tokens(spec, params, tokens, positions)
+    x = embed_tokens(spec, params, tokens, positions, input_embeds)
+    x, cache = decoder_layers_scan(spec, params["layers"], x, positions,
+                                   cache, use_pallas=use_pallas)
+    logits = output_logits(spec, params, x, use_pallas=use_pallas)
+    if cache is not None:
+        cache = cache.with_length(cache.length + tokens.shape[1])
+    return logits, cache
 
+
+def decoder_layers_scan(spec: ModelSpec, stacked, x, positions,
+                        cache: Optional[KVCache] = None, *,
+                        use_pallas: bool = True):
+    """lax.scan over a stacked layer pytree (no embedding / logits).
+
+    Also the entry point for partial-stack execution: host-KV-offload runs
+    the leading layers outside and scans only the on-device suffix
+    (runtime/host_offload.py).  Does NOT advance cache.length."""
     if cache is None:
         def body(h, lp):
             h, _ = decoder_layer(spec, lp, h, positions, None,
@@ -354,28 +402,24 @@ def decoder_forward_scan(spec: ModelSpec, params: dict, tokens, positions,
             return h, None
 
         x, _ = jax.lax.scan(body, x, stacked)
-    else:
-        lc_stacked = {
-            "k": cache.k, "v": cache.v,
-            "k_scale": cache.k_scale, "v_scale": cache.v_scale,
-        }
+        return x, None
 
-        def body(h, xs):
-            lp, lc = xs
-            lc = dict(lc, start=cache.length)
-            if lc["k_scale"] is None:
-                lc.pop("k_scale"), lc.pop("v_scale")
-            h, lc = decoder_layer(spec, lp, h, positions, lc,
-                                  use_pallas=use_pallas)
-            out = {"k": lc["k"], "v": lc["v"],
-                   "k_scale": lc.get("k_scale"), "v_scale": lc.get("v_scale")}
-            return h, out
+    lc_stacked = {
+        "k": cache.k, "v": cache.v,
+        "k_scale": cache.k_scale, "v_scale": cache.v_scale,
+    }
 
-        x, new_lc = jax.lax.scan(body, x, (stacked, lc_stacked))
-        cache = KVCache(new_lc["k"], new_lc["v"], new_lc["k_scale"],
-                        new_lc["v_scale"], cache.length)
+    def body(h, xs):
+        lp, lc = xs
+        lc = dict(lc, start=cache.length)
+        if lc["k_scale"] is None:
+            lc.pop("k_scale"), lc.pop("v_scale")
+        h, lc = decoder_layer(spec, lp, h, positions, lc,
+                              use_pallas=use_pallas)
+        out = {"k": lc["k"], "v": lc["v"],
+               "k_scale": lc.get("k_scale"), "v_scale": lc.get("v_scale")}
+        return h, out
 
-    logits = output_logits(spec, params, x, use_pallas=use_pallas)
-    if cache is not None:
-        cache = cache.with_length(cache.length + tokens.shape[1])
-    return logits, cache
+    x, new_lc = jax.lax.scan(body, x, (stacked, lc_stacked))
+    return x, KVCache(new_lc["k"], new_lc["v"], new_lc["k_scale"],
+                      new_lc["v_scale"], cache.length)

@@ -98,10 +98,44 @@ class InferenceEngine:
         if kv_cache_quantized is None:
             from ..quant.formats import is_quantized
             kv_cache_quantized = is_quantized(spec.device_kv_cache_data_type)
+
+        # host-RAM embedding table (reference be_host_embeddings +
+        # GetEmbdTensor, inference_engine.cc:1298-1353): keep the gather on
+        # host, upload only the (B, T, E) rows per step.  Requires an
+        # untied lm_head (tied heads still need the table in HBM).
+        self.host_embeddings: Optional[np.ndarray] = None
+        if (spec.be_host_embeddings and "lm_head" in self.params
+                and "dec_embeddings" in self.params):
+            self.host_embeddings = np.asarray(
+                self.params["dec_embeddings"], dtype=np.float32)
+            self.params = {k: v for k, v in self.params.items()
+                           if k != "dec_embeddings"}
         self.table = QueryStateTable(self.max_slots)
+
+        # host-RAM KV offload: leading layers keep K/V in host numpy
+        # (reference host_kv_cache_percent, kv_cache.cc:278-319)
+        from .host_offload import (HostKVStore, host_layer_split,
+                                   make_host_layer_fn)
+        self.host_kv_layers = host_layer_split(spec, hp.decoder_layers)
+        self.n_device_layers = hp.decoder_layers - self.host_kv_layers
+        self.host_kv: Optional["HostKVStore"] = None
+        self.host_layer_params: list = []
+        if self.host_kv_layers:
+            from ..models.decoder import split_layers
+            prefix, suffix = split_layers(self.params["layers"],
+                                          self.host_kv_layers)
+            self.host_layer_params = prefix
+            self.params = dict(self.params, layers=suffix)
+            self.host_kv = HostKVStore.create(
+                self.host_kv_layers, self.max_slots, self.max_context_len,
+                hp.kv_heads, hp.head_dim)
+            self._host_layer_step = jax.jit(
+                make_host_layer_fn(spec, use_pallas))
         self.cache = KVCache.create(
-            hp.decoder_layers, self.max_slots, self.max_context_len,
-            hp.kv_heads, hp.head_dim, quantized=kv_cache_quantized)
+            max(self.n_device_layers, 1), self.max_slots,
+            self.max_context_len, hp.kv_heads, hp.head_dim,
+            quantized=kv_cache_quantized)
+        self._lengths = np.zeros((self.max_slots,), np.int32)
         eos_ids = set()
         if vocab is not None and getattr(vocab, "eos_id", -1) >= 0:
             eos_ids.add(vocab.eos_id)
@@ -110,21 +144,65 @@ class InferenceEngine:
         self._lock = threading.Lock()
         self.perf_stat: Dict[str, float] = {}
 
-        self._decode_step = jax.jit(self._decode_impl, donate_argnums=(1,))
+        self._decode_step = jax.jit(self._decode_impl, donate_argnums=(2,))
         self._prefill_step = jax.jit(self._prefill_impl,
                                      static_argnames=("bucket",))
+        self._embed_step = jax.jit(self._embed_impl)
+        self._suffix_decode = jax.jit(self._suffix_impl, donate_argnums=(1,))
+        self._suffix_prefill = jax.jit(self._suffix_prefill_impl,
+                                       static_argnames=("bucket",))
+
+    def _gather_embeds(self, tokens: np.ndarray):
+        """Host-RAM embedding gather (None when embeddings live in HBM)."""
+        if self.host_embeddings is None:
+            return None
+        return jnp.asarray(self.host_embeddings[tokens], jnp.bfloat16)
+
+    # -- jitted programs (host-KV-offload pieces) -------------------------
+    def _embed_impl(self, tokens, embeds, positions):
+        from ..models.decoder import embed_tokens
+        return embed_tokens(self.spec, self.params, tokens, positions,
+                            embeds)
+
+    def _suffix_impl(self, x, cache, active):
+        """Run the on-device layer suffix + logits for one decode step."""
+        from ..models.decoder import decoder_layers_scan, output_logits
+        if self.n_device_layers > 0:
+            positions = cache.length[:, None]
+            x, cache = decoder_layers_scan(self.spec, self.params["layers"],
+                                           x, positions, cache,
+                                           use_pallas=self.use_pallas)
+        logits = output_logits(self.spec, self.params, x,
+                               use_pallas=self.use_pallas)
+        cache = cache.with_length(cache.length + active)
+        return logits[:, -1, :], cache
+
+    def _suffix_prefill_impl(self, x, length, *, bucket: int):
+        from ..models.decoder import decoder_layers_scan, output_logits
+        hp = self.spec.hyper_params
+        tmp = KVCache.create(max(self.n_device_layers, 1), 1, bucket,
+                             hp.kv_heads, hp.head_dim,
+                             quantized=self.cache.quantized)
+        if self.n_device_layers > 0:
+            positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+            x, tmp = decoder_layers_scan(self.spec, self.params["layers"],
+                                         x, positions, tmp,
+                                         use_pallas=self.use_pallas)
+        logits = output_logits(self.spec, self.params, x,
+                               use_pallas=self.use_pallas)
+        return logits[0, length - 1, :], tmp
 
     # -- jitted programs -------------------------------------------------
-    def _decode_impl(self, tokens, cache, active):
+    def _decode_impl(self, tokens, embeds, cache, active):
         """tokens (B,1) int32; active (B,) int32 mask."""
         positions = cache.length[:, None]
         logits, cache = decoder_forward_scan(
             self.spec, self.params, tokens, positions, cache,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, input_embeds=embeds)
         cache = cache.with_length(cache.length - 1 + active)
         return logits[:, -1, :], cache
 
-    def _prefill_impl(self, tokens, length, *, bucket: int):
+    def _prefill_impl(self, tokens, embeds, length, *, bucket: int):
         """tokens (1, bucket) int32, length scalar; returns last-token
         logits and the temp KV cache to scatter into the slot."""
         hp = self.spec.hyper_params
@@ -133,7 +211,7 @@ class InferenceEngine:
         positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
         logits, tmp = decoder_forward_scan(
             self.spec, self.params, tokens, positions, tmp,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, input_embeds=embeds)
         last = logits[0, length - 1, :]
         return last, tmp
 
@@ -177,9 +255,15 @@ class InferenceEngine:
             bucket = _bucket(len(tokens), hi=self.max_context_len)
             padded = np.zeros((1, bucket), np.int32)
             padded[0, :len(tokens)] = tokens
-            last_logits, tmp = self._prefill_step(
-                jnp.asarray(padded), jnp.int32(len(tokens)), bucket=bucket)
+            if self.host_kv_layers:
+                last_logits, tmp = self._prefill_offloaded(
+                    qs.slot, padded, len(tokens), bucket)
+            else:
+                last_logits, tmp = self._prefill_step(
+                    jnp.asarray(padded), self._gather_embeds(padded),
+                    jnp.int32(len(tokens)), bucket=bucket)
             self._scatter_prefill(qs.slot, tmp, len(tokens))
+            self._lengths[qs.slot] = len(tokens)
             row = np.asarray(last_logits, np.float32)
             tok = self.strategies.choose_token(qs.query_id, row,
                                               qs.prompt_tokens)
@@ -203,8 +287,13 @@ class InferenceEngine:
                 tokens[qs.slot, 0] = last
                 active[qs.slot] = 1
                 by_slot[qs.slot] = qs
-            logits, self.cache = self._decode_step(
-                jnp.asarray(tokens), self.cache, jnp.asarray(active))
+            if self.host_kv_layers:
+                logits = self._decode_offloaded(tokens, active)
+            else:
+                logits, self.cache = self._decode_step(
+                    jnp.asarray(tokens), self._gather_embeds(tokens),
+                    self.cache, jnp.asarray(active))
+            self._lengths += active
             rows = np.asarray(logits, np.float32)
             for slot, qs in by_slot.items():
                 tok = self.strategies.choose_token(
@@ -213,6 +302,45 @@ class InferenceEngine:
                 results.append(self._make_result(qs, tok))
             self.perf_stat["decode_ms"] = (time.time() - t1) * 1e3
         return results
+
+    # -- host-KV-offload step drivers -------------------------------------
+    def _prefill_offloaded(self, slot: int, padded: np.ndarray, length: int,
+                           bucket: int):
+        """Prefill with the leading layers' KV kept in host RAM."""
+        hp = self.spec.hyper_params
+        pos = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+        x = self._embed_step(jnp.asarray(padded),
+                             self._gather_embeds(padded), pos)
+        k_ctx = jnp.zeros((1, bucket, hp.kv_heads, hp.head_dim),
+                          jnp.bfloat16)
+        v_ctx = k_ctx
+        start = jnp.zeros((1,), jnp.int32)
+        for i, lp in enumerate(self.host_layer_params):
+            x, k_new, v_new = self._host_layer_step(lp, x, k_ctx, v_ctx,
+                                                    pos, start)
+            self.host_kv.k[i, slot, :length] = np.asarray(
+                k_new, np.float16)[0, :length]
+            self.host_kv.v[i, slot, :length] = np.asarray(
+                v_new, np.float16)[0, :length]
+        return self._suffix_prefill(x, jnp.int32(length), bucket=bucket)
+
+    def _decode_offloaded(self, tokens: np.ndarray, active: np.ndarray):
+        """One decode step with host-KV leading layers."""
+        starts = jnp.asarray(self._lengths)
+        pos = starts[:, None]
+        x = self._embed_step(jnp.asarray(tokens),
+                             self._gather_embeds(tokens), pos)
+        for i, lp in enumerate(self.host_layer_params):
+            k_ctx = jnp.asarray(self.host_kv.k[i]).astype(jnp.bfloat16)
+            v_ctx = jnp.asarray(self.host_kv.v[i]).astype(jnp.bfloat16)
+            x, k_new, v_new = self._host_layer_step(lp, x, k_ctx, v_ctx,
+                                                    pos, starts)
+            self.host_kv.append(i, np.asarray(k_new, np.float16),
+                                np.asarray(v_new, np.float16),
+                                self._lengths, active)
+        logits, self.cache = self._suffix_decode(x, self.cache,
+                                                 jnp.asarray(active))
+        return logits
 
     def _make_result(self, qs: QueryState, tok: int) -> InferenceResult:
         is_eos = tok in self.eos_ids

@@ -114,3 +114,52 @@ def test_engine_quantized_kv(tiny_model):
     # Q8 KV introduces quantization noise; require near-agreement
     agree = sum(a == b for a, b in zip(got, ref))
     assert agree >= len(ref) - 1, (got, ref)
+
+
+def test_engine_host_embeddings(tiny_model):
+    """be_host_embeddings: host-RAM gather must match device embeddings
+    (reference GetEmbdTensor host path, inference_engine.cc:1298-1353)."""
+    spec, params = tiny_model
+    assert spec.be_host_embeddings  # default on
+    eng_host = InferenceEngine(spec, params, max_concurrent_queries=2,
+                               kv_cache_quantized=False)
+    assert eng_host.host_embeddings is not None
+
+    import dataclasses
+    spec_dev = dataclasses.replace(spec, be_host_embeddings=False)
+    eng_dev = InferenceEngine(spec_dev, params, max_concurrent_queries=2,
+                              kv_cache_quantized=False)
+    assert eng_dev.host_embeddings is None
+
+    p = [3, 17, 9, 41]
+    a = eng_host.generate(p, SamplingOptions(strategy="greedy"),
+                          max_new_tokens=5)
+    b = eng_dev.generate(p, SamplingOptions(strategy="greedy"),
+                         max_new_tokens=5)
+    assert a == b
+
+
+@pytest.mark.parametrize("pct", [50, 100])
+def test_engine_host_kv_offload(tiny_model, pct):
+    """host_kv_cache_percent: leading layers' KV in host RAM must match
+    the all-device engine exactly (kv_cache.cc:278-319 layer split)."""
+    import dataclasses
+    spec, params = tiny_model
+    ref_eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                              kv_cache_quantized=False)
+    spec_off = dataclasses.replace(spec, host_kv_cache_percent=pct)
+    eng = InferenceEngine(spec_off, params, max_concurrent_queries=2,
+                          kv_cache_quantized=False)
+    assert eng.host_kv_layers == (1 if pct == 50 else 2)
+
+    p = [3, 17, 9, 41]
+    a = eng.generate(p, SamplingOptions(strategy="greedy"), max_new_tokens=5)
+    b = ref_eng.generate(p, SamplingOptions(strategy="greedy"),
+                         max_new_tokens=5)
+    assert a == b
+    # and a second query reusing state
+    a2 = eng.generate([7, 8], SamplingOptions(strategy="greedy"),
+                      max_new_tokens=4)
+    b2 = ref_eng.generate([7, 8], SamplingOptions(strategy="greedy"),
+                          max_new_tokens=4)
+    assert a2 == b2
