@@ -50,18 +50,22 @@ def slope_time(fn, state, lo=16, hi=64):
 
 
 def calibrate_bandwidth_gbps() -> float:
-    """Streaming HBM bandwidth via a chained decode-shaped matmul."""
-    k, n = 16384, 16384
-    w = jax.device_put(jnp.full((k, n), 1e-4, jnp.bfloat16))
+    """Streaming HBM read bandwidth via a chained big-array reduce.
+
+    NOTE: must use REAL (random) data — XLA recognizes constant-foldable
+    arrays (jnp.full) and skips the memory traffic entirely."""
+    big = jax.jit(lambda key: jax.random.normal(key, (16384, 16384),
+                                                jnp.bfloat16)
+                  )(jax.random.PRNGKey(0))
+    big.block_until_ready()
 
     @jax.jit
-    def step(x, w):
-        y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
-        return (y * 1e-4).astype(jnp.bfloat16)
+    def step(big, s):
+        return (big.sum() * 1e-9 + s[0]).reshape(1).astype(jnp.bfloat16)
 
-    x = jnp.ones((8, k), jnp.bfloat16)
-    per_iter = slope_time(lambda s: step(s, w), x)
-    return w.nbytes / per_iter / 1e9
+    per_iter = slope_time(lambda s: step(big, s),
+                          jnp.zeros((1,), jnp.bfloat16))
+    return big.nbytes / per_iter / 1e9
 
 
 def main():

@@ -143,6 +143,9 @@ class InferenceEngine:
         self.eos_ids = eos_ids
         self._lock = threading.Lock()
         self.perf_stat: Dict[str, float] = {}
+        from ..utils.study import StudyMode, PerfStat
+        self.study = StudyMode(enabled=False)
+        self.perf = PerfStat(enabled=False)
 
         self._decode_step = jax.jit(self._decode_impl, donate_argnums=(2,))
         self._prefill_step = jax.jit(self._prefill_impl,
@@ -265,11 +268,14 @@ class InferenceEngine:
             self._scatter_prefill(qs.slot, tmp, len(tokens))
             self._lengths[qs.slot] = len(tokens)
             row = np.asarray(last_logits, np.float32)
+            from ..utils.study import TAG_LOGITS, perf_key, PHASE_LAYER_END
+            self.study.dump(TAG_LOGITS, row, name=f"prefill q{qs.query_id}")
             tok = self.strategies.choose_token(qs.query_id, row,
                                               qs.prompt_tokens)
             results.append(self._make_result(qs, tok))
             qs.phase = DECODING
             self.perf_stat["prefill_ms"] = (time.time() - t0) * 1e3
+            self.perf.add(perf_key(-1, 1), self.perf_stat["prefill_ms"])
 
         with self._lock:
             # a query prefilled this step already produced its token
@@ -295,13 +301,37 @@ class InferenceEngine:
                     self.cache, jnp.asarray(active))
             self._lengths += active
             rows = np.asarray(logits, np.float32)
+            from ..utils.study import TAG_LOGITS, perf_key
             for slot, qs in by_slot.items():
+                self.study.dump(TAG_LOGITS, rows[slot],
+                                name=f"decode q{qs.query_id}")
                 tok = self.strategies.choose_token(
                     qs.query_id, rows[slot],
                     qs.prompt_tokens + qs.generated)
                 results.append(self._make_result(qs, tok))
             self.perf_stat["decode_ms"] = (time.time() - t1) * 1e3
+            self.perf.add(perf_key(-1, 2), self.perf_stat["decode_ms"])
         return results
+
+    @classmethod
+    def from_config(cls, config, model_index: int = 0) -> "InferenceEngine":
+        """Build a fully-loaded engine from an EngineConfig
+        (the Init facade, inference_engine.cc:43-229)."""
+        from ..loaders.model_loader import load_model
+        from ..tokenizer.loading import load_tokenizer
+        from ..utils.study import StudyMode, PerfStat
+
+        spec = config.models[model_index]
+        params = load_model(spec)
+        tok = load_tokenizer(spec)
+        eng = cls(spec, params,
+                  max_concurrent_queries=config.max_concurrent_queries,
+                  max_context_len=spec.max_context_len,
+                  tokenizer=tok, vocab=tok.vocab if tok else None)
+        eng.study = StudyMode(enabled=config.is_study_mode,
+                              show_tensors=config.show_tensors)
+        eng.perf = PerfStat(enabled=config.enable_perf_stat)
+        return eng
 
     # -- host-KV-offload step drivers -------------------------------------
     def _prefill_offloaded(self, slot: int, padded: np.ndarray, length: int,
