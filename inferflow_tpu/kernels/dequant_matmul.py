@@ -203,8 +203,8 @@ def _make_fast_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int,
 
 
 def _make_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int, k_tiles: int,
-                 out_dtype):
-    n_planes = len(fmt.planes)
+                 out_dtype, pair8: bool = False):
+    n_planes = 1 if pair8 else len(fmt.planes)
     has_base = fmt.base_kind != "zero"
     pair = fmt.pair_base11
 
@@ -230,8 +230,12 @@ def _make_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int, k_tiles: int,
 
         if pair:
             # base-11 pair codes over K/2 pair positions
-            codes = _combined_codes(fmt, [r[:] for r in plane_refs],
-                                    tk // 2, tn)
+            if pair8:
+                # fast device layout: one byte per pair (repack_pair8)
+                codes = plane_refs[0][:].astype(jnp.int32)
+            else:
+                codes = _combined_codes(fmt, [r[:] for r in plane_refs],
+                                        tk // 2, tn)
             pf = codes.astype(jnp.float32)
             v1 = jnp.floor((pf + 0.5) * (1.0 / 11.0))  # exact for 0..120
             v0 = pf - 11.0 * v1
@@ -350,7 +354,8 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
         )(*inputs)
         return out[:m] if m_pad != m else out
 
-    kernel = _make_kernel(fmt, tm, tk, tn, k_tiles, out_dtype)
+    pair8 = fmt.pair_base11 and "pair8" in planes
+    kernel = _make_kernel(fmt, tm, tk, tn, k_tiles, out_dtype, pair8=pair8)
     if fmt.pair_base11:
         x_even = x[:, 0::2]
         x_odd = x[:, 1::2]
@@ -365,12 +370,19 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
         inputs.append(x.astype(jnp.bfloat16))
         pair_div = 1
 
-    for spec in fmt.planes:
-        p = 8 // spec.bits
-        rows = tk // pair_div // p
-        in_specs.append(pl.BlockSpec((rows, tn), lambda i, nn, j: (j, nn),
+    if pair8:
+        in_specs.append(pl.BlockSpec((tk // 2, tn),
+                                     lambda i, nn, j: (j, nn),
                                      memory_space=pltpu.VMEM))
-        inputs.append(planes[spec.name])
+        inputs.append(planes["pair8"])
+    else:
+        for spec in fmt.planes:
+            p = 8 // spec.bits
+            rows = tk // pair_div // p
+            in_specs.append(pl.BlockSpec((rows, tn),
+                                         lambda i, nn, j: (j, nn),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(planes[spec.name])
 
     meta_rows = tk // fmt.block
     meta_spec = pl.BlockSpec((meta_rows, tn), lambda i, nn, j: (j, nn),

@@ -87,6 +87,14 @@ def iter_checkpoint_tensors(files, fmt: str) -> Iterator[Tuple[str, np.ndarray]]
                     yield name, gf.tensor(name)
             finally:
                 gf.close()
+        elif fmt == "ggml":
+            from .ggml import GGMLFile
+            gf = GGMLFile(path)
+            try:
+                for name in gf.names():
+                    yield name, gf.tensor(name)
+            finally:
+                gf.close()
         else:
             raise ValueError(f"unsupported model file format: {fmt}")
 
@@ -118,9 +126,16 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
         if k % blk == 0:
             # native C++ codec (multithreaded), codec_np fallback
             from ..quant.codec_native import quantize as _quantize
-            qt = _quantize(
-                arr.astype(np.float16).astype(np.float32), et)
-            return QuantizedTensor.from_np(qt)
+            arr_f32 = arr.astype(np.float16).astype(np.float32)
+            if spec.delta_tensor_ratio > 0:
+                # sparse outlier extraction before quantization
+                # (BuildDeltaTensor, device_tensor_builder.cu:482-540)
+                from ..quant.delta import extract_delta, QuantizedWithDelta
+                base, delta = extract_delta(arr_f32,
+                                            spec.delta_tensor_ratio)
+                qt = QuantizedTensor.from_np(_quantize(base, et))
+                return QuantizedWithDelta(qt, delta)
+            return QuantizedTensor.from_np(_quantize(arr_f32, et))
     # dense: norms/biases in fp32-accumulating bf16; embeddings bf16
     return jnp.asarray(arr.astype(np.float32), jnp.bfloat16)
 

@@ -299,6 +299,12 @@ def stack_layers(layers: list) -> dict:
             n = len(vals[0])
             return [stack([v[j] for v in vals]) for j in range(n)]
         first = vals[0]
+        if hasattr(first, "qt"):  # QuantizedWithDelta
+            from ..quant.delta import QuantizedWithDelta, DeltaTensor
+            return QuantizedWithDelta(
+                stack([v.qt for v in vals]),
+                DeltaTensor(jnp.stack([v.delta.idx for v in vals]),
+                            jnp.stack([v.delta.val for v in vals])))
         if hasattr(first, "planes"):  # QuantizedTensor
             from ..quant.codec_jax import QuantizedTensor
             planes = {k: jnp.stack([v.planes[k] for v in vals])
@@ -355,6 +361,10 @@ def _index_layer(stacked, i):
             return {k: sel(x) for k, x in v.items()}
         if isinstance(v, list):
             return [sel(x) for x in v]
+        if hasattr(v, "qt"):  # QuantizedWithDelta
+            from ..quant.delta import QuantizedWithDelta, DeltaTensor
+            return QuantizedWithDelta(
+                sel(v.qt), DeltaTensor(v.delta.idx[i], v.delta.val[i]))
         if isinstance(v, QuantizedTensor):
             return QuantizedTensor(v.format, tuple(v.shape[1:]),
                                    {k: p[i] for k, p in v.planes.items()},

@@ -29,7 +29,15 @@ def register_pallas_matmul(fn):
 
 def linear(x: jax.Array, w: Weight, bias: Optional[jax.Array] = None,
            *, use_pallas: bool = True) -> jax.Array:
-    """y = x @ w (+ bias). x: (..., K); w: (K, N) dense or QuantizedTensor."""
+    """y = x @ w (+ bias). x: (..., K); w: (K, N) dense, QuantizedTensor,
+    or QuantizedWithDelta (quantized + sparse outlier correction)."""
+    from ..quant.delta import QuantizedWithDelta, apply_delta
+    if isinstance(w, QuantizedWithDelta):
+        y = linear(x, w.qt, None, use_pallas=use_pallas)
+        y = y + apply_delta(x, w.delta)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     if isinstance(w, QuantizedTensor):
         if use_pallas and _PALLAS_MATMUL is not None:
             y = _PALLAS_MATMUL(x, w)

@@ -60,7 +60,15 @@ class QuantizedTensor:
         return n
 
     @classmethod
-    def from_np(cls, qt: dict) -> "QuantizedTensor":
+    def from_np(cls, qt: dict, fast_layout: bool = True) -> "QuantizedTensor":
+        """fast_layout: pair-coded formats (Q3H) are re-packed to one byte
+        per pair for the device (codec_np.repack_pair8) — 4.5 effective
+        bits in HBM instead of 4.0, ~4x faster fused matmul."""
+        from .formats import get_format as _gf
+        if fast_layout and _gf(qt["format"]).pair_base11 \
+                and "pair8" not in qt["planes"]:
+            from .codec_np import repack_pair8
+            qt = repack_pair8(qt)
         return cls(qt["format"], tuple(qt["shape"]),
                    {k: jnp.asarray(v) for k, v in qt["planes"].items()},
                    jnp.asarray(qt["scale"]),
@@ -126,7 +134,10 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 
     base = qt.base.astype(jnp.float32)
     if fmt.pair_base11:
-        pair = _codes_jnp(qt, fmt, k // 2)  # (K/2, N), 7-bit base-11 codes
+        if "pair8" in qt.planes:
+            pair = qt.planes["pair8"].astype(jnp.int32)
+        else:
+            pair = _codes_jnp(qt, fmt, k // 2)  # (K/2, N) base-11 codes
         pf = pair.astype(jnp.float32)
         v1 = jnp.floor((pf + 0.5) * (1.0 / 11.0))  # exact for 0..120
         v0 = pf - 11.0 * v1
@@ -222,7 +233,9 @@ def quantize(x: jax.Array, fmt_name: str) -> QuantizedTensor:
     if fmt.pair_base11:
         q = q.reshape(k // 2, 2, n)
         pair = q[:, 0] + 11 * q[:, 1]
-        planes = _pack_planes_jnp(pair, fmt)
+        # device-side quantize emits the fast pair8 layout directly
+        # (one byte per base-11 pair; wire packing is codec_np's job)
+        planes = {"pair8": pair.astype(jnp.uint8)}
     else:
         planes = _pack_planes_jnp(q, fmt)
     return QuantizedTensor(fmt.name, (k, n), planes, scale_stored, base_stored)

@@ -182,6 +182,19 @@ def quantize_np(x: np.ndarray, fmt_name: str) -> dict:
             "scale": scale_stored, "base": base_stored}
 
 
+def repack_pair8(qt: dict) -> dict:
+    """Re-pack a pair-coded (Q3H) tensor's three bit-planes into ONE
+    byte-per-pair plane for the device (4.5 effective bits instead of 4.0,
+    but the unpack collapses to a single byte load) — the wire format on
+    disk keeps the 3.5-bit packing.  Bit content is identical."""
+    fmt = get_format(qt["format"])
+    if not fmt.pair_base11:
+        return qt
+    k, n = qt["shape"]
+    pair = _planes_to_codes(qt["planes"], fmt, k // 2).astype(np.uint8)
+    return dict(qt, planes={"pair8": pair})
+
+
 def dequantize_np(qt: dict) -> np.ndarray:
     """Dequantize to float32. Mirrors DequantizeQ* (quantization.h)."""
     fmt = get_format(qt["format"])
@@ -197,7 +210,10 @@ def dequantize_np(qt: dict) -> np.ndarray:
 
     base = qt["base"].astype(np.float32)
     if fmt.pair_base11:
-        pair = _planes_to_codes(qt["planes"], fmt, k // 2)  # (K/2, N)
+        if "pair8" in qt["planes"]:
+            pair = qt["planes"]["pair8"].astype(np.int32)
+        else:
+            pair = _planes_to_codes(qt["planes"], fmt, k // 2)  # (K/2, N)
         v0 = pair % 11
         v1 = pair // 11
         q = np.stack([v0, v1], axis=1).reshape(k, n)

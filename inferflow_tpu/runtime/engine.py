@@ -147,6 +147,9 @@ class InferenceEngine:
         self.study = StudyMode(enabled=False)
         self.perf = PerfStat(enabled=False)
 
+        from ..utils.logging_util import log_memory_stat
+        log_memory_stat(self.params, self.cache)
+
         self._decode_step = jax.jit(self._decode_impl, donate_argnums=(2,))
         self._prefill_step = jax.jit(self._prefill_impl,
                                      static_argnames=("bucket",))

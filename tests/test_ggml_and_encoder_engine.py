@@ -1,0 +1,113 @@
+"""GGML legacy container + encoder/enc-dec engine tests."""
+
+import struct
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from inferflow_tpu.loaders.ggml import GGMLFile, MAGIC_GGJT
+from inferflow_tpu.runtime.encoder_engine import (EncoderOnlyEngine,
+                                                  EncDecEngine)
+from inferflow_tpu.models.spec import HyperParams, ModelSpec
+
+
+def _write_ggjt(path, tensors, vocab):
+    buf = bytearray()
+    buf += struct.pack("<I", MAGIC_GGJT) + struct.pack("<I", 3)
+    buf += struct.pack("<7i", len(vocab), 64, 256, 4, 2, 16, 1)
+    for s, score in vocab:
+        buf += struct.pack("<I", len(s)) + s + struct.pack("<f", score)
+    for name, arr in tensors.items():
+        dims = list(reversed(arr.shape))  # ggml ne[] order
+        ttype = 0 if arr.dtype == np.float32 else 1
+        nb = name.encode()
+        buf += struct.pack("<3I", len(dims), len(nb), ttype)
+        for d in dims:
+            buf += struct.pack("<i", d)
+        buf += nb
+        pad = (-len(buf)) % 32
+        buf += b"\0" * pad
+        buf += arr.tobytes()
+    with open(path, "wb") as fh:
+        fh.write(buf)
+
+
+def test_ggml_legacy_roundtrip(tmp_path, rng):
+    t1 = rng.standard_normal((8, 16)).astype(np.float32)
+    t2 = rng.standard_normal((4, 8)).astype(np.float16)
+    path = str(tmp_path / "model.ggml.bin")
+    _write_ggjt(path, {"tok_embeddings.weight": t1, "layers.0.wq.weight": t2},
+                [(b"<s>", 0.0), (b"hello", -1.5)])
+    f = GGMLFile(path)
+    assert f.n_vocab == 2 and f.n_layer == 2
+    assert f.vocab[1] == (b"hello", -1.5)
+    np.testing.assert_array_equal(f.tensor("tok_embeddings.weight"), t1)
+    np.testing.assert_array_equal(f.tensor("layers.0.wq.weight"), t2)
+    f.close()
+
+
+E, I, V, H = 32, 64, 64, 4
+
+
+def _bert_engine(rng):
+    hp = HyperParams(vocab_size=V, embd_dims=E, encoder_layers=1,
+                     encoder_heads=H, decoder_heads=H, hidden_dim=E,
+                     decoder_intermediate_size=I)
+    spec = ModelSpec(hyper_params=hp, network_structure="encoder_only",
+                     norm_alg="std", activation_fn="gelu",
+                     pos_embedding_alg="")
+
+    def w(k, n):
+        return jnp.asarray(rng.standard_normal((k, n)) * 0.08, jnp.bfloat16)
+
+    layer = {"attn": {"wq": w(E, E), "wk": w(E, E), "wv": w(E, E),
+                      "wo": w(E, E),
+                      "post_norm": jnp.ones((E,), jnp.bfloat16)},
+             "ffn": {"w1": w(E, I), "w2": w(I, E),
+                     "post_norm": jnp.ones((E,), jnp.bfloat16)}}
+    params = {"enc_embeddings": w(V, E), "enc_layers": [layer]}
+    return EncoderOnlyEngine(spec, params), spec
+
+
+def test_encoder_only_engine(rng):
+    eng, _ = _bert_engine(rng)
+    h = eng.encode([1, 2, 3])
+    assert h.shape == (3, E)
+    preds = eng.predict_masked([1, 9, 2, 9, 3], mask_id=9)
+    assert len(preds) == 2
+    assert all(0 <= p < V for p in preds)
+
+
+def test_encdec_engine(rng):
+    hp = HyperParams(vocab_size=V, embd_dims=E, encoder_layers=1,
+                     encoder_heads=H, decoder_layers=1, decoder_heads=H,
+                     decoder_kv_heads=H, hidden_dim=E,
+                     decoder_intermediate_size=I)
+    spec = ModelSpec(hyper_params=hp, network_structure="encoder_decoder",
+                     norm_alg="std", activation_fn="relu",
+                     pos_embedding_alg="sinusoidal2", max_context_len=32)
+
+    def w(k, n):
+        return jnp.asarray(rng.standard_normal((k, n)) * 0.08, jnp.bfloat16)
+
+    def attn():
+        return {"wq": w(E, E), "wk": w(E, E), "wv": w(E, E), "wo": w(E, E),
+                "pre_norm": jnp.ones((E,), jnp.bfloat16)}
+
+    enc_l = {"attn": attn(), "ffn": {"w1": w(E, I), "w2": w(I, E),
+                                     "pre_norm": jnp.ones((E,),
+                                                          jnp.bfloat16)}}
+    dec_l = {"attn": attn(), "cross_attn": attn(),
+             "ffn": {"w1": w(E, I), "w2": w(I, E),
+                     "pre_norm": jnp.ones((E,), jnp.bfloat16)}}
+    params = {"enc_embeddings": w(V, E), "dec_embeddings": w(V, E),
+              "enc_layers": [enc_l], "layers": [dec_l],
+              "dec_output_norm": jnp.ones((E,), jnp.bfloat16),
+              "lm_head": w(E, V)}
+    eng = EncDecEngine(spec, params)
+    out = eng.generate([5, 6, 7], bos_id=1, max_new_tokens=6)
+    assert 0 < len(out) <= 6
+    # deterministic greedy: same input -> same output
+    out2 = eng.generate([5, 6, 7], bos_id=1, max_new_tokens=6)
+    assert out == out2
