@@ -180,7 +180,13 @@ def load_model(spec: ModelSpec, model_dir: Optional[str] = None,
 
     if fmt == "llama2.c":
         from .llama2c import load_llama2c_checkpoint
-        _, raw = load_llama2c_checkpoint(files[0])
+        ck_spec, raw = load_llama2c_checkpoint(files[0])
+        # adopt the checkpoint header's hyperparams (the ini/model_spec
+        # doesn't carry shapes for llama2.c; model_reader.cc:3248 reads
+        # them from the binary header)
+        spec.hyper_params = ck_spec.hyper_params
+        if spec.max_context_len <= 0:
+            spec.max_context_len = ck_spec.max_context_len
         return finalize_params(spec, raw)
 
     mapper = NameMapper(spec.network_structure, spec.tensor_name_map,

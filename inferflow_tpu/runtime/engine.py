@@ -236,7 +236,7 @@ class InferenceEngine:
         if isinstance(prompt, str):
             if self.tokenizer is None:
                 raise ValueError("string query but no tokenizer configured")
-            tokens = self.tokenizer.encode(prompt)
+            tokens = self.tokenizer.tokenize(prompt, add_bos=True)
         else:
             tokens = list(prompt)
         if not tokens or len(tokens) >= self.max_context_len:
