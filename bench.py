@@ -90,11 +90,18 @@ def main():
     cache = KVCache.create(hp.decoder_layers, batch, ctx, hp.kv_heads,
                            hp.head_dim, quantized=True)
 
+    from inferflow_tpu.models.decoder import (decoder_layers_unrolled,
+                                              embed_tokens, output_logits)
+
     @jax.jit
     def decode_step_impl(params, state):
         tok, cache = state
         pos = cache.length[:, None]
-        logits, cache = decoder_forward_scan(spec, params, tok, pos, cache)
+        x = embed_tokens(spec, params, tok, pos)
+        x, cache = decoder_layers_unrolled(spec, params["layers"], x, pos,
+                                           cache)
+        logits = output_logits(spec, params, x)
+        cache = cache.with_length(cache.length + 1)
         nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
         return nxt, cache
 

@@ -280,6 +280,20 @@ def _pick_tile(dim: int, target: int, unit: int) -> Optional[int]:
     return None
 
 
+def _tk_unit(fmt: QuantFormat) -> int:
+    """K-tile granularity: every (plane, sub) activation slice and packed
+    plane block must satisfy Mosaic's lane/sublane alignment —
+    tk/p must be a multiple of 128 for the widest sub-sampling p."""
+    p_max = 1
+    for spec in fmt.planes:
+        p = 2 if spec.layout == "split_half" else 8 // spec.bits
+        p_max = max(p_max, p)
+    if fmt.pair_base11:
+        # pair codes live on K/2; x_even/x_odd widths are tk/2
+        p_max = max(p_max * 2, 2)
+    return max(fmt.block * 2, 128 * p_max)
+
+
 @functools.partial(jax.jit, static_argnames=("fmt_name", "k", "n",
                                               "plane_names", "interpret"))
 def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
@@ -289,7 +303,8 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
     out_dtype = x.dtype
 
     tm = max(16, min(256, ((m + 15) // 16) * 16))
-    tk = _pick_tile(k, 1024, fmt.block * 2)
+    # tk == k is always alignment-safe (every sub-slice is full-width)
+    tk = _pick_tile(k, 2048, _tk_unit(fmt)) or (k if k <= 4096 else None)
     tn = _pick_tile(n, 512, 128)
     m_pad = ((m + tm - 1) // tm) * tm
     if m_pad != m:
@@ -423,8 +438,8 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
 
 
 def _tileable(fmt: QuantFormat, k: int, n: int) -> bool:
-    return (_pick_tile(k, 1024, fmt.block * 2) is not None
-            and _pick_tile(n, 512, 128) is not None)
+    tk = _pick_tile(k, 2048, _tk_unit(fmt)) or (k if k <= 4096 else None)
+    return tk is not None and _pick_tile(n, 512, 128) is not None
 
 
 def quantized_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
@@ -449,6 +464,10 @@ def quantized_matmul_interpret(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     """Interpreter-mode kernel run (CPU correctness tests)."""
     fmt = get_format(qt.format)
     k, n = int(qt.shape[-2]), int(qt.shape[-1])
+    if not _tileable(fmt, k, n):
+        wd = dequantize(qt, x.dtype)
+        return jnp.matmul(x, wd, preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
     names = sorted(qt.planes)

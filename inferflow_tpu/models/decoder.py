@@ -325,6 +325,78 @@ def stack_layers(layers: list) -> dict:
     return stack(layers)
 
 
+def _concat_weights(parts):
+    """Concatenate weight matrices along N (out_features).
+
+    Supports dense arrays and QuantizedTensors of identical format/K —
+    every plane and metadata plane concatenates along the lane axis, so
+    one fused kernel invocation replaces several (the per-pallas-call
+    fixed overhead is ~10-20us; fusing QKV and W1|W3 removes 3 of 7
+    launches per layer)."""
+    from ..quant.codec_jax import QuantizedTensor
+    first = parts[0]
+    if isinstance(first, QuantizedTensor):
+        if not all(isinstance(p, QuantizedTensor)
+                   and p.format == first.format
+                   and p.shape[-2] == first.shape[-2] for p in parts):
+            return None
+        planes = {k: jnp.concatenate([p.planes[k] for p in parts], axis=-1)
+                  for k in first.planes}
+        scale = jnp.concatenate([p.scale for p in parts], axis=-1)
+        base = (None if first.base is None else
+                jnp.concatenate([p.base for p in parts], axis=-1))
+        n = sum(int(p.shape[-1]) for p in parts)
+        return QuantizedTensor(first.format,
+                               tuple(first.shape[:-1]) + (n,),
+                               planes, scale, base)
+    if any(hasattr(p, "qt") for p in parts):  # delta tensors: skip
+        return None
+    if not all(hasattr(p, "ndim") and p.ndim == first.ndim
+               and p.shape[0] == first.shape[0] for p in parts):
+        return None
+    return jnp.concatenate(parts, axis=-1)
+
+
+def fuse_layer_weights(layers: list) -> list:
+    """Fuse wq|wk|wv -> qkv (qkv_format=1 order) and w1|w3 -> w1n3 per
+    layer (incl. MoE experts/shared).  Returns a NEW layer list; layers
+    that can't fuse stay unchanged.  Callers must set spec.qkv_format=1
+    when the attention fusion applies."""
+    out = []
+    for layer in layers:
+        layer = dict(layer)
+        attn = dict(layer.get("attn", {}))
+        if all(k in attn for k in ("wq", "wk", "wv")) and \
+                not any(k + "_b" in attn for k in ("wq", "wk", "wv")):
+            fused = _concat_weights([attn["wq"], attn["wk"], attn["wv"]])
+            if fused is not None:
+                for k in ("wq", "wk", "wv"):
+                    attn.pop(k)
+                attn["qkv"] = fused
+        layer["attn"] = attn
+
+        def fuse_ffn(blk):
+            blk = dict(blk)
+            if "w1" in blk and "w3" in blk and "w1_b" not in blk \
+                    and "w3_b" not in blk:
+                fused = _concat_weights([blk["w1"], blk["w3"]])
+                if fused is not None:
+                    blk.pop("w1"), blk.pop("w3")
+                    blk["w1n3"] = fused
+            return blk
+
+        if "ffn" in layer:
+            layer["ffn"] = fuse_ffn(layer["ffn"])
+        if "moe" in layer:
+            moe = dict(layer["moe"])
+            moe["experts"] = [fuse_ffn(e) for e in moe["experts"]]
+            if moe.get("shared"):
+                moe["shared"] = fuse_ffn(moe["shared"])
+            layer["moe"] = moe
+        out.append(layer)
+    return out
+
+
 def split_layers(layers, h: int):
     """Split a layer collection into (first h as a list of per-layer
     pytrees, remaining stacked pytree).  Accepts a stacked pytree or a
@@ -395,6 +467,55 @@ def decoder_forward_scan(spec: ModelSpec, params: dict, tokens, positions,
     if cache is not None:
         cache = cache.with_length(cache.length + tokens.shape[1])
     return logits, cache
+
+
+def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
+                            cache: Optional[KVCache] = None, *,
+                            use_pallas: bool = True):
+    """Statically-unrolled layer loop over a STACKED pytree.
+
+    For decode steps this beats lax.scan by ~25% on TPU: scan's xs/ys
+    handling materializes a dynamic-slice copy of each layer's KV cache
+    and restacks the updated copy every iteration, while static layer
+    indices fuse into the attention reads and `.at[i].set` writes in
+    place.  Compile time grows with depth, so prefill (fewer invocations
+    per token) keeps the scan path.  Does NOT advance cache.length."""
+    n_layers = _stacked_layer_count(stacked)
+    for i in range(n_layers):
+        lp = _index_layer(stacked, i)
+        lc = None if cache is None else layer_cache_slice_static(cache, i)
+        x, lc = decoder_layer(spec, lp, x, positions, lc,
+                              use_pallas=use_pallas)
+        if cache is not None:
+            from ..runtime.kv_cache import store_layer_cache
+            cache = store_layer_cache(cache, i, lc)
+    return x, cache
+
+
+def layer_cache_slice_static(cache: KVCache, i: int) -> dict:
+    from ..runtime.kv_cache import layer_cache_slice
+    return layer_cache_slice(cache, i)
+
+
+def _stacked_layer_count(stacked) -> int:
+    if isinstance(stacked, dict):
+        for v in stacked.values():
+            n = _stacked_layer_count(v)
+            if n:
+                return n
+        return 0
+    if isinstance(stacked, list):
+        for v in stacked:
+            n = _stacked_layer_count(v)
+            if n:
+                return n
+        return 0
+    if hasattr(stacked, "qt"):
+        return _stacked_layer_count(stacked.qt)
+    from ..quant.codec_jax import QuantizedTensor as _QT
+    if isinstance(stacked, _QT):
+        return int(stacked.scale.shape[0])
+    return int(stacked.shape[0])
 
 
 def decoder_layers_scan(spec: ModelSpec, stacked, x, positions,

@@ -151,15 +151,54 @@ def mlm_logits(spec: ModelSpec, params: dict, hidden, *,
     return logits.astype(jnp.float32)
 
 
+def compute_cross_kv(spec: ModelSpec, layers, enc_states, *,
+                     use_pallas: bool = True):
+    """Pre-project each decoder layer's cross-attention K/V from the
+    encoder states ONCE per query (the cross_attn_kv_cache of
+    kv_cache.h:80; built on first decode step,
+    inference_worker.cc:1106-1114)."""
+    hp = spec.hyper_params
+    n_heads = hp.decoder_heads
+    head_dim = hp.embd_dims // n_heads if n_heads else hp.head_dim
+    b, tk, _ = enc_states.shape
+    out = []
+    for lp in layers:
+        if "cross_attn" not in lp:
+            out.append(None)
+            continue
+        ca = lp["cross_attn"]
+        k = linear(enc_states, ca["wk"], ca.get("wk_b"),
+                   use_pallas=use_pallas).reshape(b, tk, n_heads, head_dim)
+        v = linear(enc_states, ca["wv"], ca.get("wv_b"),
+                   use_pallas=use_pallas).reshape(b, tk, n_heads, head_dim)
+        out.append((k, v))
+    return out
+
+
+def _cross_attention(spec: ModelSpec, lp: dict, x, *, n_heads: int,
+                     kv_proj, use_pallas: bool = True):
+    """Cross-attention with pre-projected K/V."""
+    hp = spec.hyper_params
+    head_dim = hp.embd_dims // n_heads if n_heads else hp.head_dim
+    b, t, _ = x.shape
+    k, v = kv_proj
+    q = linear(x, lp["wq"], lp.get("wq_b"), use_pallas=use_pallas)
+    q = q.reshape(b, t, n_heads, head_dim)
+    positions = jnp.zeros((b, t), jnp.int32)
+    out = mha(q, k, v, q_positions=positions, causal=False,
+              kq_scale=spec.kq_scale)
+    out = out.reshape(b, t, n_heads * head_dim)
+    return linear(out, lp["wo"], lp.get("wo_b"), use_pallas=use_pallas)
+
+
 def encdec_decoder_layer(spec: ModelSpec, lp: dict, x, positions,
-                         enc_states, layer_cache=None, *,
+                         enc_states, layer_cache=None, cross_kv=None, *,
                          use_pallas: bool = True):
     """Decoder layer with cross-attention over encoder states.
 
-    Self-attention uses the same KV-cache machinery as decoder.py; the
-    cross-attention K/V derive from enc_states (recomputed per step — the
-    cross-attn KV cache optimization of kv_cache.h:80 cross_attn variant is
-    a follow-up)."""
+    Self-attention uses the same KV-cache machinery as decoder.py;
+    cross-attention K/V come pre-projected via compute_cross_kv (the
+    cross-attn KV cache) or are derived from enc_states on the fly."""
     from .decoder import attention_block
 
     hp = spec.hyper_params
@@ -174,20 +213,28 @@ def encdec_decoder_layer(spec: ModelSpec, lp: dict, x, positions,
 
     x = _sublayer(spec, lp["attn"], x, self_attn)
     if "cross_attn" in lp:
-        x = _sublayer(spec, lp["cross_attn"], x,
-                      lambda h: _self_attention(
-                          spec, lp["cross_attn"], h, positions,
-                          n_heads=n_heads, causal=False, kv=enc_states,
-                          use_pallas=use_pallas))
+        if cross_kv is not None:
+            x = _sublayer(spec, lp["cross_attn"], x,
+                          lambda h: _cross_attention(
+                              spec, lp["cross_attn"], h, n_heads=n_heads,
+                              kv_proj=cross_kv, use_pallas=use_pallas))
+        else:
+            x = _sublayer(spec, lp["cross_attn"], x,
+                          lambda h: _self_attention(
+                              spec, lp["cross_attn"], h, positions,
+                              n_heads=n_heads, causal=False, kv=enc_states,
+                              use_pallas=use_pallas))
     x = _sublayer(spec, lp["ffn"], x,
                   lambda h: _ffn(spec, lp["ffn"], h, use_pallas=use_pallas))
     return x, layer_cache
 
 
 def encdec_forward(spec: ModelSpec, params: dict, enc_tokens, dec_tokens,
-                   *, cache=None, enc_states=None, use_pallas: bool = True):
+                   *, cache=None, enc_states=None, cross_kvs=None,
+                   use_pallas: bool = True):
     """Encoder-decoder forward.  Runs (or reuses) the encoder, then the
-    decoder with cross-attention; returns (logits, cache, enc_states)."""
+    decoder with cross-attention; returns (logits, cache, enc_states).
+    Pass cross_kvs (compute_cross_kv) to reuse the projected cross K/V."""
     from ..runtime.kv_cache import layer_cache_slice, store_layer_cache
     from .decoder import output_logits
 
@@ -223,8 +270,10 @@ def encdec_forward(spec: ModelSpec, params: dict, enc_tokens, dec_tokens,
 
     for i, lp in enumerate(params["layers"]):
         lc = None if cache is None else layer_cache_slice(cache, i)
+        ckv = cross_kvs[i] if cross_kvs is not None else None
         x, lc = encdec_decoder_layer(spec, lp, x, positions, enc_states,
-                                     lc, use_pallas=use_pallas)
+                                     lc, cross_kv=ckv,
+                                     use_pallas=use_pallas)
         if cache is not None:
             cache = store_layer_cache(cache, i, lc)
     logits = output_logits(spec, params, x, use_pallas=use_pallas)

@@ -126,6 +126,11 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
     key, k1, k2 = jax.random.split(key, 3)
     emb = jax.random.normal(k1, (V, E), dtype=jnp.float32) * 0.02
     head = rand(k2, E, V)
+    # fuse QKV and W1|W3 (one kernel launch instead of three / two)
+    from .decoder import fuse_layer_weights
+    layers = fuse_layer_weights(layers)
+    if all("qkv" in l["attn"] for l in layers):
+        spec.qkv_format = 1
     params = {
         "dec_embeddings": emb.astype(jnp.bfloat16),
         "dec_output_norm": jnp.ones((E,), jnp.bfloat16),

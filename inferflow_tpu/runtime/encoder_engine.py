@@ -80,9 +80,13 @@ class EncDecEngine:
         self.strategies = DecodingStrategies(
             eos_ids={vocab.eos_id} if vocab else set())
         self._step = jax.jit(
-            lambda p, et, dt, c, es: encdec_forward(
-                spec, p, et, dt, cache=c, enc_states=es,
+            lambda p, et, dt, c, es, ckv: encdec_forward(
+                spec, p, et, dt, cache=c, enc_states=es, cross_kvs=ckv,
                 use_pallas=use_pallas))
+        from ..models.encoder import compute_cross_kv
+        self._cross_kv = jax.jit(
+            lambda p, es: compute_cross_kv(spec, p["layers"], es,
+                                           use_pallas=use_pallas))
 
     def generate(self, enc_tokens: Sequence[int],
                  bos_id: Optional[int] = None,
@@ -101,10 +105,14 @@ class EncDecEngine:
         out: List[int] = []
         cur = bos_id
         enc_states = None
+        cross_kvs = None
         for _ in range(max_new_tokens):
             dt = jnp.asarray([[cur]], jnp.int32)
             logits, cache, enc_states = self._step(self.params, et, dt,
-                                                   cache, enc_states)
+                                                   cache, enc_states,
+                                                   cross_kvs)
+            if cross_kvs is None:
+                cross_kvs = self._cross_kv(self.params, enc_states)
             row = np.asarray(logits[0, -1], np.float32)
             cur = self.strategies.choose_token(1, row, out)
             if cur == eos:

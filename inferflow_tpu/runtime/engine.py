@@ -84,7 +84,15 @@ class InferenceEngine:
         hp = spec.hyper_params
         self.params = params
         if isinstance(params.get("layers"), list):
-            self.params = dict(params, layers=stack_layers(params["layers"]))
+            # fuse QKV / W1|W3 to cut kernel launches per layer
+            from ..models.decoder import fuse_layer_weights
+            layers = params["layers"]
+            had_separate = all("wq" in l.get("attn", {}) for l in layers)
+            layers = fuse_layer_weights(layers)
+            if had_separate and all("qkv" in l["attn"] for l in layers):
+                spec = dataclasses.replace(spec, qkv_format=1)
+                self.spec = spec
+            self.params = dict(params, layers=stack_layers(layers))
         self.tokenizer = tokenizer
         self.vocab = vocab
         self.max_slots = max_concurrent_queries
@@ -150,11 +158,11 @@ class InferenceEngine:
         from ..utils.logging_util import log_memory_stat
         log_memory_stat(self.params, self.cache)
 
-        self._decode_step = jax.jit(self._decode_impl, donate_argnums=(2,))
+        self._decode_step = jax.jit(self._decode_impl, donate_argnums=(3,))
         self._prefill_step = jax.jit(self._prefill_impl,
                                      static_argnames=("bucket",))
         self._embed_step = jax.jit(self._embed_impl)
-        self._suffix_decode = jax.jit(self._suffix_impl, donate_argnums=(1,))
+        self._suffix_decode = jax.jit(self._suffix_impl, donate_argnums=(2,))
         self._suffix_prefill = jax.jit(self._suffix_prefill_impl,
                                        static_argnames=("bucket",))
 
@@ -165,25 +173,24 @@ class InferenceEngine:
         return jnp.asarray(self.host_embeddings[tokens], jnp.bfloat16)
 
     # -- jitted programs (host-KV-offload pieces) -------------------------
-    def _embed_impl(self, tokens, embeds, positions):
+    def _embed_impl(self, params, tokens, embeds, positions):
         from ..models.decoder import embed_tokens
-        return embed_tokens(self.spec, self.params, tokens, positions,
-                            embeds)
+        return embed_tokens(self.spec, params, tokens, positions, embeds)
 
-    def _suffix_impl(self, x, cache, active):
+    def _suffix_impl(self, params, x, cache, active):
         """Run the on-device layer suffix + logits for one decode step."""
-        from ..models.decoder import decoder_layers_scan, output_logits
+        from ..models.decoder import decoder_layers_unrolled, output_logits
         if self.n_device_layers > 0:
             positions = cache.length[:, None]
-            x, cache = decoder_layers_scan(self.spec, self.params["layers"],
-                                           x, positions, cache,
-                                           use_pallas=self.use_pallas)
-        logits = output_logits(self.spec, self.params, x,
+            x, cache = decoder_layers_unrolled(
+                self.spec, params["layers"], x, positions, cache,
+                use_pallas=self.use_pallas)
+        logits = output_logits(self.spec, params, x,
                                use_pallas=self.use_pallas)
         cache = cache.with_length(cache.length + active)
         return logits[:, -1, :], cache
 
-    def _suffix_prefill_impl(self, x, length, *, bucket: int):
+    def _suffix_prefill_impl(self, params, x, length, *, bucket: int):
         from ..models.decoder import decoder_layers_scan, output_logits
         hp = self.spec.hyper_params
         tmp = KVCache.create(max(self.n_device_layers, 1), 1, bucket,
@@ -191,24 +198,34 @@ class InferenceEngine:
                              quantized=self.cache.quantized)
         if self.n_device_layers > 0:
             positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
-            x, tmp = decoder_layers_scan(self.spec, self.params["layers"],
+            x, tmp = decoder_layers_scan(self.spec, params["layers"],
                                          x, positions, tmp,
                                          use_pallas=self.use_pallas)
-        logits = output_logits(self.spec, self.params, x,
+        logits = output_logits(self.spec, params, x,
                                use_pallas=self.use_pallas)
         return logits[0, length - 1, :], tmp
 
     # -- jitted programs -------------------------------------------------
-    def _decode_impl(self, tokens, embeds, cache, active):
-        """tokens (B,1) int32; active (B,) int32 mask."""
+    def _decode_impl(self, params, tokens, embeds, cache, active):
+        """tokens (B,1) int32; active (B,) int32 mask.
+
+        The decode layer loop is statically UNROLLED: static layer indices
+        fuse the KV-cache reads/writes, where lax.scan would dynamic-slice
+        and restack each layer's cache every iteration (~25% of step
+        time).  Prefill keeps scan (compile speed; amortized per token)."""
+        from ..models.decoder import (decoder_layers_unrolled, embed_tokens,
+                                      output_logits)
         positions = cache.length[:, None]
-        logits, cache = decoder_forward_scan(
-            self.spec, self.params, tokens, positions, cache,
-            use_pallas=self.use_pallas, input_embeds=embeds)
-        cache = cache.with_length(cache.length - 1 + active)
+        x = embed_tokens(self.spec, params, tokens, positions, embeds)
+        x, cache = decoder_layers_unrolled(
+            self.spec, params["layers"], x, positions, cache,
+            use_pallas=self.use_pallas)
+        logits = output_logits(self.spec, params, x,
+                               use_pallas=self.use_pallas)
+        cache = cache.with_length(cache.length + active)
         return logits[:, -1, :], cache
 
-    def _prefill_impl(self, tokens, embeds, length, *, bucket: int):
+    def _prefill_impl(self, params, tokens, embeds, length, *, bucket: int):
         """tokens (1, bucket) int32, length scalar; returns last-token
         logits and the temp KV cache to scatter into the slot."""
         hp = self.spec.hyper_params
@@ -216,7 +233,7 @@ class InferenceEngine:
                              hp.head_dim, quantized=self.cache.quantized)
         positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
         logits, tmp = decoder_forward_scan(
-            self.spec, self.params, tokens, positions, tmp,
+            self.spec, params, tokens, positions, tmp,
             use_pallas=self.use_pallas, input_embeds=embeds)
         last = logits[0, length - 1, :]
         return last, tmp
@@ -266,7 +283,8 @@ class InferenceEngine:
                     qs.slot, padded, len(tokens), bucket)
             else:
                 last_logits, tmp = self._prefill_step(
-                    jnp.asarray(padded), self._gather_embeds(padded),
+                    self.params, jnp.asarray(padded),
+                    self._gather_embeds(padded),
                     jnp.int32(len(tokens)), bucket=bucket)
             self._scatter_prefill(qs.slot, tmp, len(tokens))
             self._lengths[qs.slot] = len(tokens)
@@ -300,7 +318,8 @@ class InferenceEngine:
                 logits = self._decode_offloaded(tokens, active)
             else:
                 logits, self.cache = self._decode_step(
-                    jnp.asarray(tokens), self._gather_embeds(tokens),
+                    self.params, jnp.asarray(tokens),
+                    self._gather_embeds(tokens),
                     self.cache, jnp.asarray(active))
             self._lengths += active
             rows = np.asarray(logits, np.float32)
@@ -342,7 +361,7 @@ class InferenceEngine:
         """Prefill with the leading layers' KV kept in host RAM."""
         hp = self.spec.hyper_params
         pos = jnp.arange(bucket, dtype=jnp.int32)[None, :]
-        x = self._embed_step(jnp.asarray(padded),
+        x = self._embed_step(self.params, jnp.asarray(padded),
                              self._gather_embeds(padded), pos)
         k_ctx = jnp.zeros((1, bucket, hp.kv_heads, hp.head_dim),
                           jnp.bfloat16)
@@ -355,13 +374,14 @@ class InferenceEngine:
                 k_new, np.float16)[0, :length]
             self.host_kv.v[i, slot, :length] = np.asarray(
                 v_new, np.float16)[0, :length]
-        return self._suffix_prefill(x, jnp.int32(length), bucket=bucket)
+        return self._suffix_prefill(self.params, x, jnp.int32(length),
+                                    bucket=bucket)
 
     def _decode_offloaded(self, tokens: np.ndarray, active: np.ndarray):
         """One decode step with host-KV leading layers."""
         starts = jnp.asarray(self._lengths)
         pos = starts[:, None]
-        x = self._embed_step(jnp.asarray(tokens),
+        x = self._embed_step(self.params, jnp.asarray(tokens),
                              self._gather_embeds(tokens), pos)
         for i, lp in enumerate(self.host_layer_params):
             k_ctx = jnp.asarray(self.host_kv.k[i]).astype(jnp.bfloat16)
@@ -371,7 +391,7 @@ class InferenceEngine:
             self.host_kv.append(i, np.asarray(k_new, np.float16),
                                 np.asarray(v_new, np.float16),
                                 self._lengths, active)
-        logits, self.cache = self._suffix_decode(x, self.cache,
+        logits, self.cache = self._suffix_decode(self.params, x, self.cache,
                                                  jnp.asarray(active))
         return logits
 
