@@ -79,7 +79,8 @@ class InferenceEngine:
                  max_context_len: int = 0,
                  tokenizer=None, vocab=None,
                  kv_cache_quantized: Optional[bool] = None,
-                 use_pallas: bool = True):
+                 use_pallas: bool = True,
+                 cpu_layer_count: int = 0):
         self.spec = spec
         hp = spec.hyper_params
         self.params = params
@@ -121,10 +122,19 @@ class InferenceEngine:
         self.table = QueryStateTable(self.max_slots)
 
         # host-RAM KV offload: leading layers keep K/V in host numpy
-        # (reference host_kv_cache_percent, kv_cache.cc:278-319)
+        # (reference host_kv_cache_percent, kv_cache.cc:278-319).
+        # CPU-layer offload (decoder_cpu_layer_count): same layer split,
+        # but weights AND compute for the prefix live on the jax CPU
+        # backend — the analog of the reference's ggml CpuInferenceWorker
+        # (cpu_inference_worker.h:13); activations cross host<->device at
+        # the split point (inference_engine.cc:860-886).
         from .host_offload import (HostKVStore, host_layer_split,
                                    make_host_layer_fn)
-        self.host_kv_layers = host_layer_split(spec, hp.decoder_layers)
+        self.cpu_layer_count = max(cpu_layer_count,
+                                   max(spec.decoder_cpu_layer_count, 0))
+        self.cpu_device = None
+        self.host_kv_layers = max(host_layer_split(spec, hp.decoder_layers),
+                                  self.cpu_layer_count)
         self.n_device_layers = hp.decoder_layers - self.host_kv_layers
         self.host_kv: Optional["HostKVStore"] = None
         self.host_layer_params: list = []
@@ -132,13 +142,21 @@ class InferenceEngine:
             from ..models.decoder import split_layers
             prefix, suffix = split_layers(self.params["layers"],
                                           self.host_kv_layers)
+            if self.cpu_layer_count:
+                try:
+                    self.cpu_device = jax.devices("cpu")[0]
+                except RuntimeError:
+                    self.cpu_device = None
+                if self.cpu_device is not None:
+                    prefix = jax.device_put(prefix, self.cpu_device)
             self.host_layer_params = prefix
             self.params = dict(self.params, layers=suffix)
             self.host_kv = HostKVStore.create(
                 self.host_kv_layers, self.max_slots, self.max_context_len,
                 hp.kv_heads, hp.head_dim)
             self._host_layer_step = jax.jit(
-                make_host_layer_fn(spec, use_pallas))
+                make_host_layer_fn(spec, use_pallas and
+                                   self.cpu_device is None))
         self.cache = KVCache.create(
             max(self.n_device_layers, 1), self.max_slots,
             self.max_context_len, hp.kv_heads, hp.head_dim,
@@ -349,7 +367,8 @@ class InferenceEngine:
         eng = cls(spec, params,
                   max_concurrent_queries=config.max_concurrent_queries,
                   max_context_len=spec.max_context_len,
-                  tokenizer=tok, vocab=tok.vocab if tok else None)
+                  tokenizer=tok, vocab=tok.vocab if tok else None,
+                  cpu_layer_count=max(config.decoder_cpu_layer_count, 0))
         eng.study = StudyMode(enabled=config.is_study_mode,
                               show_tensors=config.show_tensors)
         eng.perf = PerfStat(enabled=config.enable_perf_stat)
@@ -363,10 +382,17 @@ class InferenceEngine:
         pos = jnp.arange(bucket, dtype=jnp.int32)[None, :]
         x = self._embed_step(self.params, jnp.asarray(padded),
                              self._gather_embeds(padded), pos)
+        if self.cpu_device is not None:
+            x = jax.device_put(x, self.cpu_device)
+            pos = jax.device_put(pos, self.cpu_device)
         k_ctx = jnp.zeros((1, bucket, hp.kv_heads, hp.head_dim),
                           jnp.bfloat16)
         v_ctx = k_ctx
         start = jnp.zeros((1,), jnp.int32)
+        if self.cpu_device is not None:
+            k_ctx = jax.device_put(k_ctx, self.cpu_device)
+            v_ctx = k_ctx
+            start = jax.device_put(start, self.cpu_device)
         for i, lp in enumerate(self.host_layer_params):
             x, k_new, v_new = self._host_layer_step(lp, x, k_ctx, v_ctx,
                                                     pos, start)
@@ -374,6 +400,8 @@ class InferenceEngine:
                 k_new, np.float16)[0, :length]
             self.host_kv.v[i, slot, :length] = np.asarray(
                 v_new, np.float16)[0, :length]
+        if self.cpu_device is not None:
+            x = jax.device_put(x, jax.devices()[0])
         return self._suffix_prefill(self.params, x, jnp.int32(length),
                                     bucket=bucket)
 
@@ -383,14 +411,26 @@ class InferenceEngine:
         pos = starts[:, None]
         x = self._embed_step(self.params, jnp.asarray(tokens),
                              self._gather_embeds(tokens), pos)
+        if self.cpu_device is not None:
+            x = jax.device_put(x, self.cpu_device)
+            pos = jax.device_put(pos, self.cpu_device)
+            starts = jax.device_put(starts, self.cpu_device)
         for i, lp in enumerate(self.host_layer_params):
-            k_ctx = jnp.asarray(self.host_kv.k[i]).astype(jnp.bfloat16)
-            v_ctx = jnp.asarray(self.host_kv.v[i]).astype(jnp.bfloat16)
+            dev = self.cpu_device
+            k_ctx = jnp.asarray(self.host_kv.k[i])
+            v_ctx = jnp.asarray(self.host_kv.v[i])
+            if dev is not None:
+                k_ctx = jax.device_put(k_ctx, dev)
+                v_ctx = jax.device_put(v_ctx, dev)
+            k_ctx = k_ctx.astype(jnp.bfloat16)
+            v_ctx = v_ctx.astype(jnp.bfloat16)
             x, k_new, v_new = self._host_layer_step(lp, x, k_ctx, v_ctx,
                                                     pos, starts)
             self.host_kv.append(i, np.asarray(k_new, np.float16),
                                 np.asarray(v_new, np.float16),
                                 self._lengths, active)
+        if self.cpu_device is not None:
+            x = jax.device_put(x, jax.devices()[0])
         logits, self.cache = self._suffix_decode(self.params, x, self.cache,
                                                  jnp.asarray(active))
         return logits

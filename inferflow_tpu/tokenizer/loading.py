@@ -49,16 +49,42 @@ def token_text_to_bytes(text: str, bytes_mapping: int = 0) -> bytes:
     return text.encode("utf-8")
 
 
-def load_tokenizer_json(path: str, bytes_mapping: int = 0) -> Vocabulary:
+def load_token_remap(path: str) -> Dict[int, int]:
+    """Token id remap table (reference LoadTokenRemapData,
+    model_reader.cc:1420): JSON object {"old": new, ...}, JSON array
+    [new0, new1, ...], or two-column text lines `old new`."""
+    with open(path, "rb") as fh:
+        head = fh.read(1)
+        fh.seek(0)
+        text = fh.read().decode("utf-8", "replace")
+    if head in (b"{", b"["):
+        data = json.loads(text)
+        if isinstance(data, list):
+            return {i: int(v) for i, v in enumerate(data)}
+        return {int(k): int(v) for k, v in data.items()}
+    remap = {}
+    for line in text.splitlines():
+        parts = line.split()
+        if len(parts) >= 2:
+            remap[int(parts[0])] = int(parts[1])
+    return remap
+
+
+def load_tokenizer_json(path: str, bytes_mapping: int = 0,
+                        token_remap: Optional[Dict[int, int]] = None
+                        ) -> Vocabulary:
     """HF tokenizer.json: model.vocab (token -> id), model.merges,
-    added_tokens."""
+    added_tokens.  token_remap redirects vocab ids at load
+    (model_reader.cc LoadVocabJson token_map)."""
     with open(path, encoding="utf-8") as fh:
         data = json.load(fh)
     v = Vocabulary()
     model = data.get("model", {})
     vocab: Dict[str, int] = model.get("vocab", {})
     items = sorted(vocab.items(), key=lambda kv: kv[1])
-    size = (items[-1][1] + 1) if items else 0
+    if token_remap:
+        items = [(text, token_remap.get(tid, tid)) for text, tid in items]
+    size = (max(t for _, t in items) + 1) if items else 0
     toks: List[Optional[bytes]] = [None] * size
     for text, tid in items:
         toks[tid] = token_text_to_bytes(text, bytes_mapping)
@@ -155,12 +181,18 @@ def load_gguf_vocab(gguf_vocab: dict) -> Vocabulary:
 def load_tokenizer(spec, model_dir: str = "") -> Optional[Tokenizer]:
     """Pick and load the tokenizer per ModelSpec (model_reader.cc:745)."""
     model_dir = model_dir or spec.dir
+    remap = None
+    if spec.token_remap_file:
+        rpath = os.path.join(model_dir, spec.token_remap_file) \
+            if model_dir else spec.token_remap_file
+        if os.path.isfile(rpath):
+            remap = load_token_remap(rpath)
     for fname in spec.tokenizer_files:
         path = os.path.join(model_dir, fname) if model_dir else fname
         if not os.path.isfile(path):
             continue
         if fname.endswith("tokenizer.json"):
-            v = load_tokenizer_json(path, spec.token_bytes_mapping)
+            v = load_tokenizer_json(path, spec.token_bytes_mapping, remap)
         elif fname.endswith("vocab.json"):
             merges = os.path.join(model_dir, "merges.txt")
             v = load_vocab_json(path, merges, spec.token_bytes_mapping)

@@ -157,3 +157,27 @@ def test_spec_map_with_reference_canonical_names():
     assert path == ("layers", 3, "moe", "gate") and t
     path, t = m.map_name("norm.weight")
     assert path == ("dec_output_norm",) and not t
+
+
+def test_token_remap(tmp_path):
+    """Token remap file redirects vocab ids at load
+    (model_reader.cc LoadTokenRemapData + LoadVocabJson token_map)."""
+    import json as _json
+    from inferflow_tpu.tokenizer.loading import (load_token_remap,
+                                                 load_tokenizer_json)
+    tok_json = {"model": {"vocab": {"a": 0, "b": 1, "c": 2}, "merges": []}}
+    tpath = str(tmp_path / "tokenizer.json")
+    with open(tpath, "w") as fh:
+        _json.dump(tok_json, fh)
+    rpath = str(tmp_path / "remap.json")
+    with open(rpath, "w") as fh:
+        _json.dump({"0": 2, "1": 0, "2": 1}, fh)
+    remap = load_token_remap(rpath)
+    assert remap == {0: 2, 1: 0, 2: 1}
+    v = load_tokenizer_json(tpath, 0, remap)
+    assert v.token_str(2) == b"a" and v.token_str(0) == b"b"
+    # two-column text form
+    rpath2 = str(tmp_path / "remap.txt")
+    with open(rpath2, "w") as fh:
+        fh.write("0 1\n1 0\n")
+    assert load_token_remap(rpath2) == {0: 1, 1: 0}

@@ -170,3 +170,18 @@ def test_engine_host_kv_offload(tiny_model, pct):
     b2 = ref_eng.generate([7, 8], SamplingOptions(strategy="greedy"),
                           max_new_tokens=4)
     assert a2 == b2
+
+
+def test_engine_cpu_layer_offload(tiny_model):
+    """decoder_cpu_layer_count: leading layers run on the jax CPU backend
+    (the reference's ggml CPU worker analog); outputs must match."""
+    spec, params = tiny_model
+    ref = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=False)
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=False, cpu_layer_count=1)
+    assert eng.host_kv_layers == 1
+    p = [3, 17, 9]
+    a = eng.generate(p, SamplingOptions(strategy="greedy"), max_new_tokens=4)
+    b = ref.generate(p, SamplingOptions(strategy="greedy"), max_new_tokens=4)
+    assert a == b
