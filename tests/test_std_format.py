@@ -25,7 +25,8 @@ def test_std_roundtrip(tmp_path):
     save_std(path, spec, params)
     spec2, params2 = load_std(path)
     assert spec2.hyper_params.decoder_layers == 2
-    assert params2["layers"][0]["attn"]["wq"].format == "Q4_B64T1"
+    # zoo fuses qkv at build; the roundtrip must preserve it
+    assert params2["layers"][0]["attn"]["qkv"].format == "Q4_B64T1"
 
     tokens = jnp.asarray([[3, 5, 9]], jnp.int32)
     pos = jnp.arange(3)[None, :]
