@@ -108,6 +108,37 @@ def main():
     def decode_step(state):
         return decode_step_impl(params, state)
 
+    mode = os.environ.get("INFERFLOW_BENCH_MODE", "decode")
+    if mode == "prefill":
+        # prompt-processing throughput: tokens/s over a 512-token prefill
+        plen = int(os.environ.get("INFERFLOW_BENCH_PREFILL_LEN", "512"))
+        prompt = jnp.zeros((1, plen), jnp.int32)
+        ppos = jnp.broadcast_to(jnp.arange(plen)[None, :], (1, plen))
+
+        @jax.jit
+        def prefill(params, state):
+            t, c = state
+            logits, c = decoder_forward_scan(spec, params, t, ppos, c)
+            c = c.with_length(jnp.zeros_like(c.length))  # reuse slot
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return jnp.broadcast_to(nxt, t.shape), c
+
+        cache0 = KVCache.create(hp.decoder_layers, 1, plen, hp.kv_heads,
+                                hp.head_dim, quantized=True)
+        per = slope_time(lambda s: prefill(params, s), (prompt, cache0),
+                         lo=4, hi=16)
+        tps = plen / per
+        weight_bytes = model_weight_bytes(params)
+        result = {
+            "metric": f"prefill tokens/s ({model_name}, {quant} weights, "
+                      f"len {plen})",
+            "value": round(tps, 3), "unit": "tokens/s",
+            "vs_baseline": round(per, 4),
+        }
+        print(json.dumps(result))
+        print(f"# prefill {per*1e3:.2f} ms for {plen} tokens", file=sys.stderr)
+        return
+
     # prefill a short prompt
     plen = 16
     prompt = jnp.zeros((batch, plen), jnp.int32)
