@@ -130,13 +130,16 @@ def apply_hf_config(spec: ModelSpec, cfg: dict) -> ModelSpec:
 
 
 def load_hf_config(spec: ModelSpec, model_dir: str) -> ModelSpec:
-    path = spec.config_file or os.path.join(model_dir, "config.json")
+    path = spec.config_file or "config.json"
+    if model_dir and not os.path.isabs(path):
+        path = os.path.join(model_dir, path)
     if os.path.isfile(path):
         with open(path) as fh:
             cfg = json.load(fh)
         spec = apply_hf_config(spec, cfg)
-    gen_path = (spec.generation_config_file
-                or os.path.join(model_dir, "generation_config.json"))
+    gen_path = spec.generation_config_file or "generation_config.json"
+    if model_dir and not os.path.isabs(gen_path):
+        gen_path = os.path.join(model_dir, gen_path)
     if os.path.isfile(gen_path):
         with open(gen_path) as fh:
             gen = json.load(fh)

@@ -1,0 +1,39 @@
+"""Engine factory: archetype-dispatched engine construction from config.
+
+reference: InferenceEngine::Init dispatches on NetworkType — decoder-only
+models get the batching engine, encoder-only (BERT) the mask-prediction
+path, encoder-decoder the two-pass path
+(inference_engine.cc:43-229, 893-954).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from ..loaders.model_loader import load_model
+from ..tokenizer.loading import load_tokenizer
+from .engine import InferenceEngine
+from .encoder_engine import EncDecEngine, EncoderOnlyEngine
+
+Engine = Union[InferenceEngine, EncoderOnlyEngine, EncDecEngine]
+
+
+def make_engine(config, model_index: int = 0) -> Engine:
+    """Build the right engine for the model's archetype from an
+    EngineConfig."""
+    spec = config.models[model_index]
+    params = load_model(spec)
+    tok = load_tokenizer(spec)
+    vocab = tok.vocab if tok else None
+    arch = spec.archetype
+    if arch == "encoder_only":
+        return EncoderOnlyEngine(spec, params, tokenizer=tok, vocab=vocab)
+    if arch == "encoder_decoder":
+        return EncDecEngine(spec, params, tokenizer=tok, vocab=vocab,
+                            max_context_len=spec.max_context_len)
+    return InferenceEngine(
+        spec, params,
+        max_concurrent_queries=config.max_concurrent_queries,
+        max_context_len=spec.max_context_len,
+        tokenizer=tok, vocab=vocab,
+        cpu_layer_count=max(config.decoder_cpu_layer_count, 0))
