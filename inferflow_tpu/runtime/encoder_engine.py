@@ -92,6 +92,14 @@ class EncDecEngine:
                  bos_id: Optional[int] = None,
                  sampling: Optional[SamplingOptions] = None,
                  max_new_tokens: int = 64) -> List[int]:
+        return list(self.generate_stream(enc_tokens, bos_id, sampling,
+                                         max_new_tokens))
+
+    def generate_stream(self, enc_tokens: Sequence[int],
+                        bos_id: Optional[int] = None,
+                        sampling: Optional[SamplingOptions] = None,
+                        max_new_tokens: int = 64):
+        """Yield generated token ids one at a time (the SSE path)."""
         hp = self.spec.hyper_params
         opts = sampling or SamplingOptions(strategy="greedy")
         self.strategies.begin_query(1, opts)
@@ -106,17 +114,19 @@ class EncDecEngine:
         cur = bos_id
         enc_states = None
         cross_kvs = None
-        for _ in range(max_new_tokens):
-            dt = jnp.asarray([[cur]], jnp.int32)
-            logits, cache, enc_states = self._step(self.params, et, dt,
-                                                   cache, enc_states,
-                                                   cross_kvs)
-            if cross_kvs is None:
-                cross_kvs = self._cross_kv(self.params, enc_states)
-            row = np.asarray(logits[0, -1], np.float32)
-            cur = self.strategies.choose_token(1, row, out)
-            if cur == eos:
-                break
-            out.append(cur)
-        self.strategies.end_query(1)
-        return out
+        try:
+            for _ in range(max_new_tokens):
+                dt = jnp.asarray([[cur]], jnp.int32)
+                logits, cache, enc_states = self._step(self.params, et, dt,
+                                                       cache, enc_states,
+                                                       cross_kvs)
+                if cross_kvs is None:
+                    cross_kvs = self._cross_kv(self.params, enc_states)
+                row = np.asarray(logits[0, -1], np.float32)
+                cur = self.strategies.choose_token(1, row, out)
+                if cur == eos:
+                    break
+                out.append(cur)
+                yield cur
+        finally:
+            self.strategies.end_query(1)

@@ -34,9 +34,71 @@ class QueryResult:
         self.t0 = time.time()
 
 
+class SyncServiceCore:
+    """Per-request synchronous serving for the encoder archetypes
+    (encoder-only mask prediction; encoder-decoder generation).  A lock
+    serializes device use; continuous batching applies to decoder-only
+    models via InferFlowServiceCore."""
+
+    kind = "sync"
+
+    def __init__(self, engine, prompt_template: str = "",
+                 model_name: str = "inferflow-tpu"):
+        self.engine = engine
+        self.prompt_template = prompt_template or "{query}"
+        self.model_name = model_name
+        self._lock = threading.Lock()
+
+    def start(self):
+        pass
+
+    def stop(self):
+        pass
+
+    def _tokens(self, req) -> list:
+        tk = self.engine.tokenizer
+        prompt = expand_prompt_template(
+            req.decoder_prompt_template or self.prompt_template,
+            query=req.text, system_prompt=req.system_prompt,
+            res_prefix=req.res_prefix)
+        if tk is None:
+            return [int(x) for x in prompt.split() if x.isdigit()]
+        return tk.tokenize(prompt, add_bos=False)
+
+    def handle_stream(self, req):
+        """Yield utf-8 text pieces."""
+        from ..runtime.encoder_engine import EncDecEngine
+        tk = self.engine.tokenizer
+        with self._lock:
+            if isinstance(self.engine, EncDecEngine):
+                opts = SamplingOptions.from_strategy_string(
+                    req.decoding_alg or "greedy",
+                    temperature=req.temperature, seed=req.random_seed)
+                for tok in self.engine.generate_stream(
+                        self._tokens(req), sampling=opts,
+                        max_new_tokens=req.max_output_len):
+                    if tk is not None:
+                        yield tk.vocab.id_to_bytes(tok).replace(
+                            b"\xe2\x96\x81", b" ").decode("utf-8", "replace")
+                    else:
+                        yield f"{tok} "
+            else:  # encoder-only: predict masked positions
+                toks = self._tokens(req)
+                preds = self.engine.predict_masked(toks)
+                if tk is not None:
+                    yield " ".join(tk.decode([p]) for p in preds)
+                else:
+                    yield " ".join(str(p) for p in preds)
+
+    def handle_blocking(self, req) -> str:
+        return "".join(self.handle_stream(req))
+
+
 class InferFlowServiceCore(threading.Thread):
     """Engine loop thread (reference InferFlowServiceCore::Run,
     inferflow_service.cc:60-131)."""
+
+    kind = "batching"
 
     def __init__(self, engine: InferenceEngine, prompt_template: str = "",
                  model_name: str = "inferflow-tpu"):
@@ -121,9 +183,10 @@ def make_handler(core: InferFlowServiceCore):
 
         def do_GET(self):
             if self.path in ("/health", "/"):
+                table = getattr(core.engine, "table", None)
                 self._send_json(json.dumps(
                     {"status": "ok", "model": core.model_name,
-                     "active_queries": len(core.engine.table.active)}))
+                     "active_queries": len(table.active) if table else 0}))
             else:
                 self._send_json(json.dumps({"error": "not found"}), 404)
 
@@ -134,6 +197,9 @@ def make_handler(core: InferFlowServiceCore):
                    else InferFlowRequest.from_json(data))
             if not req.text:
                 self._send_json(json.dumps({"error": "empty query"}), 400)
+                return
+            if core.kind == "sync":
+                self._sync(req)
                 return
             qid = core.add_request(req)
             if qid == -1:
@@ -147,6 +213,32 @@ def make_handler(core: InferFlowServiceCore):
                 self._stream(qid, req)
             else:
                 self._blocking(qid, req)
+
+        def _sync(self, req: InferFlowRequest):
+            """Encoder-archetype request (SyncServiceCore)."""
+            t0 = time.time()
+            if req.is_streaming_mode:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for piece in core.handle_stream(req):
+                    chunk = ResponseChunk(0, piece, False, core.model_name)
+                    self._write_sse(chunk.to_json_openai_chunk()
+                                    if req.is_openai else chunk.to_json())
+                final = ResponseChunk(0, "", True, core.model_name,
+                                      time.time() - t0)
+                self._write_sse(final.to_json_openai_chunk()
+                                if req.is_openai else final.to_json())
+                if req.is_openai:
+                    self._write_chunk(b"data: [DONE]\n\n")
+                self._write_chunk(b"")
+            else:
+                text = core.handle_blocking(req)
+                chunk = ResponseChunk(0, text, True, core.model_name,
+                                      time.time() - t0)
+                self._send_json(chunk.to_json_openai() if req.is_openai
+                                else chunk.to_json())
 
         def _blocking(self, qid: int, req: InferFlowRequest):
             qr = core.results[qid]
@@ -217,9 +309,13 @@ class InferFlowService:
     """HTTP server wrapper (reference InferFlowService :
     BaseHttpServer, inferflow_service.h:12)."""
 
-    def __init__(self, engine: InferenceEngine, port: int = 8080,
+    def __init__(self, engine, port: int = 8080,
                  prompt_template: str = "", model_name: str = "inferflow-tpu"):
-        self.core = InferFlowServiceCore(engine, prompt_template, model_name)
+        if isinstance(engine, InferenceEngine):
+            self.core = InferFlowServiceCore(engine, prompt_template,
+                                             model_name)
+        else:  # encoder archetypes: synchronous per-request serving
+            self.core = SyncServiceCore(engine, prompt_template, model_name)
         self.httpd = ThreadingHTTPServer(("0.0.0.0", port),
                                          make_handler(self.core))
         self.port = self.httpd.server_address[1]

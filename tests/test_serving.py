@@ -127,3 +127,52 @@ def test_response_chunk_formats():
     assert oa["choices"][0]["message"]["content"] == "hi"
     chunk = json.loads(c.to_json_openai_chunk())
     assert chunk["choices"][0]["delta"]["content"] == "hi"
+
+
+def test_encdec_sync_service(rng):
+    """Encoder-decoder models serve via the synchronous core
+    (per-request generation, streaming + blocking)."""
+    import jax.numpy as jnp
+    from inferflow_tpu.models.spec import HyperParams, ModelSpec
+    from inferflow_tpu.runtime.encoder_engine import EncDecEngine
+
+    E, I, V, H = 32, 64, 300, 4
+    hp = HyperParams(vocab_size=V, embd_dims=E, encoder_layers=1,
+                     encoder_heads=H, decoder_layers=1, decoder_heads=H,
+                     decoder_kv_heads=H, hidden_dim=E,
+                     decoder_intermediate_size=I)
+    spec = ModelSpec(hyper_params=hp, network_structure="encoder_decoder",
+                     norm_alg="std", activation_fn="relu",
+                     pos_embedding_alg="sinusoidal2", max_context_len=32)
+
+    def w(k, n):
+        return jnp.asarray(rng.standard_normal((k, n)) * 0.08, jnp.bfloat16)
+
+    def attn():
+        return {"wq": w(E, E), "wk": w(E, E), "wv": w(E, E), "wo": w(E, E),
+                "pre_norm": jnp.ones((E,), jnp.bfloat16)}
+
+    params = {
+        "enc_embeddings": w(V, E), "dec_embeddings": w(V, E),
+        "enc_layers": [{"attn": attn(),
+                        "ffn": {"w1": w(E, I), "w2": w(I, E),
+                                "pre_norm": jnp.ones((E,), jnp.bfloat16)}}],
+        "layers": [{"attn": attn(), "cross_attn": attn(),
+                    "ffn": {"w1": w(E, I), "w2": w(I, E),
+                            "pre_norm": jnp.ones((E,), jnp.bfloat16)}}],
+        "dec_output_norm": jnp.ones((E,), jnp.bfloat16),
+        "lm_head": w(E, V),
+    }
+    tok = _toy_tokenizer(V)
+    eng = EncDecEngine(spec, params, tokenizer=tok, vocab=tok.vocab)
+    svc = InferFlowService(eng, port=0, model_name="encdec-test")
+    svc.start(block=False)
+    try:
+        client = InferFlowClient(f"http://127.0.0.1:{svc.port}")
+        resp = client.query("translate me", max_output_len=5)
+        assert resp["is_end"] is True
+        chunks = list(client.stream("more text", max_output_len=5,
+                                    openai=True))
+        assert chunks and chunks[-1]["choices"][0]["finish_reason"] == "stop"
+    finally:
+        svc.stop()

@@ -24,6 +24,7 @@ def main():
     args = ap.parse_args()
 
     from inferflow_tpu.runtime.engine import InferenceEngine
+    from inferflow_tpu.runtime import make_engine
     from inferflow_tpu.serving import InferFlowService
 
     port = args.port
@@ -32,7 +33,7 @@ def main():
     if args.config:
         from inferflow_tpu.config import load_engine_config
         ec = load_engine_config(args.config)
-        eng = InferenceEngine.from_config(ec)
+        eng = make_engine(ec)
         port = port or ec.http_port
         spec = ec.model
         template = spec.decoder_input_template or ec.default_prompt_template
