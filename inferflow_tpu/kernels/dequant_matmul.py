@@ -280,18 +280,34 @@ def _pick_tile(dim: int, target: int, unit: int) -> Optional[int]:
     return None
 
 
-def _tk_unit(fmt: QuantFormat) -> int:
-    """K-tile granularity: every (plane, sub) activation slice and packed
-    plane block must satisfy Mosaic's lane/sublane alignment —
-    tk/p must be a multiple of 128 for the widest sub-sampling p."""
-    p_max = 1
-    for spec in fmt.planes:
-        p = 2 if spec.layout == "split_half" else 8 // spec.bits
-        p_max = max(p_max, p)
-    if fmt.pair_base11:
-        # pair codes live on K/2; x_even/x_odd widths are tk/2
-        p_max = max(p_max * 2, 2)
-    return max(fmt.block * 2, 128 * p_max)
+def _tk_unit(fmt: QuantFormat, pair8: bool = False) -> int:
+    """K-tile granularity = lcm of every alignment constraint:
+
+    - activation sub-slice width must be a 128 (lane) multiple:
+      tk/p per plane sub-sampling p (fast path), tk/2 for pair formats
+    - packed plane tile rows must be an 8 (sublane) multiple:
+      tk/(per*p) where per=2 for pair-coded formats
+    - scale/base tile rows must be an 8 multiple: tk/block
+    """
+    import math
+    per = 2 if fmt.pair_base11 else 1
+    units = [8 * fmt.block]  # scale/base rows
+    if pair8:
+        units += [256, 8 * 2]  # x_even/x_odd widths; byte-per-pair rows
+    elif fmt.pair_base11:
+        units.append(256)  # x_even/x_odd widths (generic pair kernel)
+        for spec in fmt.planes:
+            p = 2 if spec.layout == "split_half" else 8 // spec.bits
+            units.append(8 * per * p)
+    else:
+        for spec in fmt.planes:
+            p = 2 if spec.layout == "split_half" else 8 // spec.bits
+            units.append(128 * p)  # x sub-slice width
+            units.append(8 * p)    # plane rows
+    unit = 1
+    for u in units:
+        unit = math.lcm(unit, u)
+    return unit
 
 
 @functools.partial(jax.jit, static_argnames=("fmt_name", "k", "n",
@@ -303,8 +319,10 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
     out_dtype = x.dtype
 
     tm = max(16, min(256, ((m + 15) // 16) * 16))
+    pair8_layout = fmt.pair_base11 and "pair8" in plane_names
     # tk == k is always alignment-safe (every sub-slice is full-width)
-    tk = _pick_tile(k, 2048, _tk_unit(fmt)) or (k if k <= 4096 else None)
+    tk = _pick_tile(k, 2048, _tk_unit(fmt, pair8_layout)) \
+        or (k if k <= 8192 else None)
     tn = _pick_tile(n, 512, 128)
     m_pad = ((m + tm - 1) // tm) * tm
     if m_pad != m:
@@ -437,8 +455,10 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
     return out[:m] if m_pad != m else out
 
 
-def _tileable(fmt: QuantFormat, k: int, n: int) -> bool:
-    tk = _pick_tile(k, 2048, _tk_unit(fmt)) or (k if k <= 4096 else None)
+def _tileable(fmt: QuantFormat, k: int, n: int,
+              pair8: bool = False) -> bool:
+    tk = _pick_tile(k, 2048, _tk_unit(fmt, pair8)) \
+        or (k if k <= 8192 else None)
     return tk is not None and _pick_tile(n, 512, 128) is not None
 
 
@@ -447,7 +467,9 @@ def quantized_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     fmt = get_format(qt.format)
     k, n = int(qt.shape[-2]), int(qt.shape[-1])
     lead = x.shape[:-1]
-    use_pallas = (jax.default_backend() == "tpu" and _tileable(fmt, k, n))
+    pair8 = fmt.pair_base11 and "pair8" in qt.planes
+    use_pallas = (jax.default_backend() == "tpu"
+                  and _tileable(fmt, k, n, pair8))
     if not use_pallas:
         wd = dequantize(qt, x.dtype)
         return jnp.matmul(x, wd, preferred_element_type=jnp.float32
@@ -464,7 +486,7 @@ def quantized_matmul_interpret(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     """Interpreter-mode kernel run (CPU correctness tests)."""
     fmt = get_format(qt.format)
     k, n = int(qt.shape[-2]), int(qt.shape[-1])
-    if not _tileable(fmt, k, n):
+    if not _tileable(fmt, k, n, fmt.pair_base11 and "pair8" in qt.planes):
         wd = dequantize(qt, x.dtype)
         return jnp.matmul(x, wd, preferred_element_type=jnp.float32
                           ).astype(x.dtype)
