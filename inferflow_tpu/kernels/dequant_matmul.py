@@ -323,7 +323,7 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
     # tk == k is always alignment-safe (every sub-slice is full-width)
     tk = _pick_tile(k, 2048, _tk_unit(fmt, pair8_layout)) \
         or (k if k <= 8192 else None)
-    tn = _pick_tile(n, 512, 128)
+    tn = _pick_tile(n, 1024, 128)
     m_pad = ((m + tm - 1) // tm) * tm
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
@@ -459,7 +459,7 @@ def _tileable(fmt: QuantFormat, k: int, n: int,
               pair8: bool = False) -> bool:
     tk = _pick_tile(k, 2048, _tk_unit(fmt, pair8)) \
         or (k if k <= 8192 else None)
-    return tk is not None and _pick_tile(n, 512, 128) is not None
+    return tk is not None and _pick_tile(n, 1024, 128) is not None
 
 
 def quantized_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
