@@ -28,7 +28,8 @@ def build_engine(args):
     if args.zoo:
         from inferflow_tpu.models.zoo import make_spec, make_synthetic_params
         spec = make_spec(args.zoo)
-        params = make_synthetic_params(spec, weight_format=args.quant,
+        params = make_synthetic_params(spec,
+                                       weight_format=args.quant or None,
                                        stacked=True)
         return InferenceEngine(spec, params,
                                max_concurrent_queries=args.max_queries), None
