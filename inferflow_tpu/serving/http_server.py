@@ -148,7 +148,8 @@ class InferFlowServiceCore(threading.Thread):
             req.decoding_alg or "top_p",
             temperature=req.temperature, seed=req.random_seed)
         if tk is not None:
-            tokens = tk.tokenize(prompt, add_bos=True)
+            from ..tokenizer.loading import tokenize_with_escapes
+            tokens = tokenize_with_escapes(tk, prompt, add_bos=True)
         else:
             tokens = [int(x) for x in prompt.split() if x.isdigit()]
         qid = self.engine.add_query(tokens, opts,

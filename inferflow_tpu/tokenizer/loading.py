@@ -230,3 +230,23 @@ def _apply_spec_specials(v: Vocabulary, spec) -> None:
                 setattr(v, attr, tid)
                 if attr == "eos_id":
                     v.eos_set.add(tid)
+
+
+def tokenize_with_escapes(tokenizer, text: str, add_bos: bool = False):
+    """Tokenize template-expanded text honoring `{#123}` token-id escapes
+    (reference BuildEncoderInput/BuildDecoderInput `{#id}` keys,
+    inference_engine.cc:456-709): text segments are tokenized normally,
+    escape segments splice the literal token id."""
+    import re as _re
+    out = []
+    if add_bos and tokenizer.vocab.bos_id >= 0:
+        out.append(tokenizer.vocab.bos_id)
+    pos = 0
+    for m in _re.finditer(r"\{#(\d+)\}", text):
+        if m.start() > pos:
+            out.extend(tokenizer.tokenize(text[pos:m.start()]))
+        out.append(int(m.group(1)))
+        pos = m.end()
+    if pos < len(text):
+        out.extend(tokenizer.tokenize(text[pos:]))
+    return out

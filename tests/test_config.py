@@ -181,3 +181,21 @@ def test_token_remap(tmp_path):
     with open(rpath2, "w") as fh:
         fh.write("0 1\n1 0\n")
     assert load_token_remap(rpath2) == {0: 1, 1: 0}
+
+
+def test_template_token_id_escapes():
+    """`{#id}` escapes splice literal token ids
+    (inference_engine.cc BuildDecoderInput `{#id}` keys)."""
+    from inferflow_tpu.tokenizer.vocab import Vocabulary
+    from inferflow_tpu.tokenizer.tokenizer import Tokenizer
+    from inferflow_tpu.tokenizer.loading import tokenize_with_escapes
+    v = Vocabulary()
+    v.add(b"<unk>"); v.add(b"<s>"); v.add(b"</s>")
+    for b in range(256):
+        v.add(b"<0x%02X>" % b, 0.0, 3)
+    v.unk_id, v.bos_id, v.eos_id = 0, 1, 2
+    v.find_byte_token_start()
+    tk = Tokenizer(v, "bpe")
+    toks = tokenize_with_escapes(tk, "{#5}A{#9}", add_bos=True)
+    assert toks[0] == 1 and toks[1] == 5 and toks[-1] == 9
+    assert len(toks) == 4  # bos, 5, 'A' byte, 9
