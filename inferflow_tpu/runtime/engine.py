@@ -458,6 +458,22 @@ class InferenceEngine:
                     self.table.finish(r.query_id, r.finish_reason)
                     self.strategies.end_query(r.query_id)
 
+    def warmup(self, buckets=None) -> None:
+        """Pre-compile the prefill programs for the given bucket sizes so
+        the first real prompt doesn't pay compile latency (prefill shapes
+        are padded to power-of-two buckets)."""
+        if self.host_kv_layers:
+            return  # offloaded prefill compiles per-piece lazily
+        for b in buckets or (16, 64, 256):
+            b = min(b, _bucket(self.max_context_len, hi=self.max_context_len))
+            if b > self.max_context_len:
+                continue
+            tokens = jnp.zeros((1, b), jnp.int32)
+            self._prefill_step(self.params, tokens,
+                               self._gather_embeds(np.zeros((1, b),
+                                                            np.int32)),
+                               jnp.int32(1), bucket=b)
+
     def has_work(self) -> bool:
         with self._lock:
             return bool(self.table.active)

@@ -185,3 +185,13 @@ def test_engine_cpu_layer_offload(tiny_model):
     a = eng.generate(p, SamplingOptions(strategy="greedy"), max_new_tokens=4)
     b = ref.generate(p, SamplingOptions(strategy="greedy"), max_new_tokens=4)
     assert a == b
+
+
+def test_engine_prefill_warmup(tiny_model):
+    spec, params = tiny_model
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=False)
+    eng.warmup(buckets=(16, 32))
+    out = eng.generate([3, 5, 7], SamplingOptions(strategy="greedy"),
+                       max_new_tokens=3)
+    assert len(out) >= 1
