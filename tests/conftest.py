@@ -1,8 +1,13 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Multi-chip sharding is validated on the virtual mesh; the driver separately
-dry-runs the multi-chip path (see __graft_entry__.dryrun_multichip) and runs
-bench.py on real TPU hardware.
+The env below requests a virtual 8-device CPU mesh, which applies when jax
+has not been imported yet at conftest time (plain CPU machines, CI).  On
+the axon image, sitecustomize imports jax at interpreter start with
+JAX_PLATFORMS=axon, so the suite runs against the REAL TPU chip through
+the tunnel — a stronger signal (the pallas kernels actually compile).
+Multi-device sharding is validated by the driver's
+__graft_entry__.dryrun_multichip, launched with JAX_PLATFORMS=cpu in the
+process environment (which does win over sitecustomize).
 """
 
 import os
