@@ -104,7 +104,9 @@ class GGMLFile:
         shape = tuple(reversed(dims))  # ggml ne[] order -> row major
         if ttype in _DENSE:
             dt, _ = _DENSE[ttype]
-            return np.frombuffer(self._mm, dt, n_elems, start).reshape(shape)
+            # copy: don't hand out views of the mmap (closed by iterators)
+            return np.frombuffer(self._mm, dt, n_elems,
+                                 start).reshape(shape).copy()
         raw = np.frombuffer(self._mm, np.uint8, info["nbytes"], start)
         return _dequant_block_rows(ttype, raw, n_elems).reshape(shape)
 

@@ -191,7 +191,10 @@ class GGUFFile:
                     ).reshape(shape)
         if ttype in _DENSE:
             dt, isz = _DENSE[ttype]
-            return np.frombuffer(self._mm, dt, n_elems, start).reshape(shape)
+            # copy: frombuffer would return a zero-copy view of the mmap,
+            # which consumers may hold after close() (e.g. loader threads)
+            return np.frombuffer(self._mm, dt, n_elems,
+                                 start).reshape(shape).copy()
         if ttype in _QBLOCK:
             be, bb = _QBLOCK[ttype]
             nbytes = (n_elems // be) * bb

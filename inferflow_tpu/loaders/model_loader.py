@@ -46,13 +46,24 @@ def detect_format(path: str) -> str:
     if low.endswith(".gguf"):
         return "gguf"
     if low.endswith((".bin", ".pt", ".pth")) and "tokenizer" not in low:
-        if low.endswith(".index.json"):
+        # .bin is ambiguous (torch pickle vs llama2.c): sniff the magic —
+        # torch checkpoints are zip (PK..) or a bare pickle stream (\x80),
+        # llama2.c starts with 7 raw int32 hyperparams (model_reader.cc:3248)
+        try:
+            with open(path, "rb") as fh:
+                magic = fh.read(2)
+            if magic[:2] in (b"PK", b"\x80\x02", b"\x80\x04", b"\x80\x05") \
+                    or magic[:1] == b"\x80":
+                return "pickle"
+            if low.endswith(".bin"):
+                return "llama2.c"
             return "pickle"
-        return "pickle"
+        except OSError:
+            if re.search(r"(stories|llama2)[^/]*\.bin$", low):
+                return "llama2.c"
+            return "pickle"
     if low.endswith(".index.json"):
         return "safetensors" if "safetensors" in low else "pickle"
-    if re.search(r"(stories|llama2).*\.bin$", low):
-        return "llama2.c"
     return "unknown"
 
 

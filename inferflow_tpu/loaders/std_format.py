@@ -18,6 +18,7 @@ import numpy as np
 
 from ..models.spec import HyperParams, ModelSpec
 from ..quant.codec_jax import QuantizedTensor
+from ..quant.delta import DeltaTensor, QuantizedWithDelta
 from .safetensors import SafetensorsFile, save_safetensors
 
 MANIFEST_KEY = "__inferflow_manifest__"
@@ -38,12 +39,23 @@ def save_std(path: str, spec: ModelSpec, params: dict) -> None:
     tensors: Dict[str, np.ndarray] = {}
     manifest = {"spec": dataclasses.asdict(spec), "tensors": {}}
     for name, val in _flatten(params):
+        if isinstance(val, QuantizedWithDelta):
+            # inner quantized planes + the sparse outlier idx/val arrays
+            # (the reference Std format has no delta analog; has_delta in
+            # the manifest keeps the container self-describing)
+            tensors[f"{name}:delta_idx"] = np.asarray(val.delta.idx)
+            tensors[f"{name}:delta_val"] = np.asarray(val.delta.val)
+            val = val.qt
+            has_delta = True
+        else:
+            has_delta = False
         if isinstance(val, QuantizedTensor):
             manifest["tensors"][name] = {
                 "kind": "quant", "format": val.format,
                 "shape": [int(s) for s in val.shape],
                 "planes": sorted(val.planes),
                 "has_base": val.base is not None,
+                "has_delta": has_delta,
             }
             for pname, plane in val.planes.items():
                 tensors[f"{name}:{pname}"] = np.asarray(plane)
@@ -112,6 +124,12 @@ def load_std(path: str) -> Tuple[ModelSpec, dict]:
                         if info["has_base"] else None)
                 val = QuantizedTensor(info["format"], tuple(info["shape"]),
                                       planes, scale, base)
+                if info.get("has_delta"):
+                    val = QuantizedWithDelta(val, DeltaTensor(
+                        jnp.asarray(sf.tensor(f"{name}:delta_idx")),
+                        jnp.asarray(np.asarray(
+                            sf.tensor(f"{name}:delta_val"), np.float32),
+                            jnp.bfloat16)))
             else:
                 arr = sf.tensor(name)
                 val = jnp.asarray(np.asarray(arr, np.float32), jnp.bfloat16)

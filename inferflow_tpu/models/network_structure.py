@@ -271,6 +271,37 @@ ENCDEC_RULES: List[Rule] = (
        Rule(r"(model\.)?shared\.weight", "dec_embeddings", False)]
 )
 
+# llama.cpp GGUF-native tensor names (ggml convention; the reference's GGUF
+# reader maps these in model_reader.cc:2748-3247).  Appended after every
+# family's rules so GGUF checkpoints load without a spec tensor_name_mapping.
+GGUF_RULES: List[Rule] = (
+    [Rule(r"token_embd\.weight", "dec_embeddings", False),
+     Rule(r"output_norm\.weight", "dec_output_norm", False),
+     Rule(r"output_norm\.bias", "dec_output_norm_b", False),
+     Rule(r"output\.weight", "lm_head"),
+     Rule(r"rope_freqs\.weight", "rope_freqs", False)]
+    + _wn(rf"blk\.{_L}\.attn_q", "layers.{i}.attn.wq")
+    + _wn(rf"blk\.{_L}\.attn_k", "layers.{i}.attn.wk")
+    + _wn(rf"blk\.{_L}\.attn_v", "layers.{i}.attn.wv")
+    + _wn(rf"blk\.{_L}\.attn_qkv", "layers.{i}.attn.qkv")
+    + _wn(rf"blk\.{_L}\.attn_output", "layers.{i}.attn.wo")
+    + [Rule(rf"blk\.{_L}\.attn_norm\.weight",
+            "layers.{i}.attn.pre_norm", False),
+       Rule(rf"blk\.{_L}\.attn_norm\.bias",
+            "layers.{i}.attn.pre_norm_b", False),
+       Rule(rf"blk\.{_L}\.ffn_norm\.weight",
+            "layers.{i}.ffn.pre_norm", False),
+       Rule(rf"blk\.{_L}\.ffn_norm\.bias",
+            "layers.{i}.ffn.pre_norm_b", False)]
+    + _wn(rf"blk\.{_L}\.ffn_gate", "layers.{i}.ffn.w1")
+    + _wn(rf"blk\.{_L}\.ffn_down", "layers.{i}.ffn.w2")
+    + _wn(rf"blk\.{_L}\.ffn_up", "layers.{i}.ffn.w3")
+    + _wn(rf"blk\.{_L}\.ffn_gate_inp", "layers.{i}.moe.gate")
+    + _wn(rf"blk\.{_L}\.ffn_gate\.{_E}", "layers.{i}.moe.experts.{j}.w1")
+    + _wn(rf"blk\.{_L}\.ffn_down\.{_E}", "layers.{i}.moe.experts.{j}.w2")
+    + _wn(rf"blk\.{_L}\.ffn_up\.{_E}", "layers.{i}.moe.experts.{j}.w3")
+)
+
 FAMILY_RULES: Dict[str, List[Rule]] = {
     "llama": LLAMA_RULES,
     "decoder_only": LLAMA_RULES,
@@ -375,6 +406,7 @@ class NameMapper:
                 break
         else:
             rules.extend(LLAMA_RULES)
+        rules.extend(GGUF_RULES)  # llama.cpp names match no HF pattern
         self.prefix = tensor_name_prefix
         self._rules = [(r.compiled(), r) for r in rules]
 

@@ -4,7 +4,6 @@ Mirrors the reference's per-query attention loop semantics —
 KQ matmul with RepeatKV GQA replication, softmax with causal prefix mask,
 then `V` contraction (inference_worker.cc:983-1332; fused-softmax mask in
 kernels/unary_tensor_opr.h:460-536) — as one batched einsum program.
-Fused Pallas flash-attention variants live in ops/pallas_attention.py.
 """
 
 from __future__ import annotations

@@ -50,10 +50,14 @@ class InferenceResult:
 
 
 def _bucket(n: int, lo: int = 16, hi: int = 4096) -> int:
+    """Smallest power-of-two >= n, clamped to [lo, hi].  The clamp matters
+    when hi (max_context_len) is not a power of two: the prefill temp cache
+    must never exceed the main cache's seq dim or _scatter_cache's
+    dynamic_update_slice would be ill-formed."""
     b = lo
     while b < n and b < hi:
         b *= 2
-    return b
+    return min(b, hi)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

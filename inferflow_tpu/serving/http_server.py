@@ -108,6 +108,10 @@ class InferFlowServiceCore(threading.Thread):
         self.model_name = model_name
         self.results: Dict[int, QueryResult] = {}
         self._stop = threading.Event()
+        # held across add_query + results registration (add_request) and
+        # across result dispatch (run) so a token produced in that window
+        # can't be dropped for lack of a registered QueryResult
+        self._dispatch_lock = threading.Lock()
 
     def run(self):
         while not self._stop.is_set():
@@ -115,17 +119,21 @@ class InferFlowServiceCore(threading.Thread):
                 time.sleep(0.001)
                 continue
             step = self.engine.infer()
-            for r in step:
-                qr = self.results.get(r.query_id)
-                if qr is None:
-                    continue
-                with qr.lock:
-                    for tok in r.next_tokens:
-                        if tok not in self.engine.eos_ids:
-                            qr.data += self._token_bytes(tok)
-                    if r.is_end:
-                        qr.is_end = True
+            with self._dispatch_lock:
+                self._dispatch(step)
             self.engine.commit_inference_result(step)
+
+    def _dispatch(self, step):
+        for r in step:
+            qr = self.results.get(r.query_id)
+            if qr is None:
+                continue
+            with qr.lock:
+                for tok in r.next_tokens:
+                    if tok not in self.engine.eos_ids:
+                        qr.data += self._token_bytes(tok)
+                if r.is_end:
+                    qr.is_end = True
 
     def _token_bytes(self, tok: int) -> bytes:
         tk = self.engine.tokenizer
@@ -152,10 +160,11 @@ class InferFlowServiceCore(threading.Thread):
             tokens = tokenize_with_escapes(tk, prompt, add_bos=True)
         else:
             tokens = [int(x) for x in prompt.split() if x.isdigit()]
-        qid = self.engine.add_query(tokens, opts,
-                                    max_new_tokens=req.max_output_len)
-        if qid > 0:
-            self.results[qid] = QueryResult()
+        with self._dispatch_lock:
+            qid = self.engine.add_query(tokens, opts,
+                                        max_new_tokens=req.max_output_len)
+            if qid > 0:
+                self.results[qid] = QueryResult()
         return qid
 
 

@@ -255,6 +255,51 @@ def test_hf_config_aliases():
     assert hp.training_context_len == 2048
 
 
+def test_load_model_gguf_end_to_end(tmp_path, rng):
+    """GGUF with llama.cpp-native tensor names -> load_model (threaded
+    quantize-on-load over mmap views; ADVICE r1: previously raised
+    BufferError when the mmap closed under queued workers) -> forward."""
+    import jax.numpy as jnp
+    from inferflow_tpu.loaders.model_loader import load_model
+    from inferflow_tpu.models.decoder import decoder_forward
+    from inferflow_tpu.quant.codec_jax import QuantizedTensor
+
+    E, I, V, L, H = 64, 128, 96, 2, 4
+    tensors = {"token_embd.weight":
+               rng.standard_normal((V, E)).astype(np.float32),
+               "output_norm.weight": np.ones(E, np.float32),
+               "output.weight":
+               rng.standard_normal((V, E)).astype(np.float32) * 0.1}
+    for i in range(L):
+        p = f"blk.{i}"
+        tensors[f"{p}.attn_norm.weight"] = np.ones(E, np.float32)
+        tensors[f"{p}.ffn_norm.weight"] = np.ones(E, np.float32)
+        for nm, shape in (("attn_q", (E, E)), ("attn_k", (E, E)),
+                          ("attn_v", (E, E)), ("attn_output", (E, E)),
+                          ("ffn_gate", (I, E)), ("ffn_down", (E, I)),
+                          ("ffn_up", (I, E))):
+            tensors[f"{p}.{nm}.weight"] = (
+                rng.standard_normal(shape).astype(np.float32) * 0.05)
+    path = str(tmp_path / "model.gguf")
+    _write_gguf(path, tensors, {"general.alignment": 32})
+
+    spec = ModelSpec(model_files=["model.gguf"],
+                     model_file_format="gguf",
+                     device_weight_data_type="Q8_B32T1",
+                     tensor_quant_threshold=64 * 64)
+    hp = spec.hyper_params
+    hp.embd_dims, hp.decoder_layers, hp.decoder_heads = E, L, H
+    hp.decoder_kv_heads, hp.decoder_intermediate_size = H, I
+    hp.vocab_size = V
+    params = load_model(spec, str(tmp_path))
+    assert isinstance(params["layers"][0]["attn"]["wq"], QuantizedTensor)
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    pos = jnp.arange(4)[None, :]
+    logits, _ = decoder_forward(spec, params, tokens, pos, None)
+    assert logits.shape == (1, 4, V)
+    assert bool(jnp.isfinite(logits).all())
+
+
 def test_load_model_end_to_end(tmp_path, rng):
     """safetensors llama checkpoint -> params -> decoder forward."""
     import jax.numpy as jnp

@@ -35,6 +35,37 @@ def test_std_roundtrip(tmp_path):
     assert norm_rmsd(np.asarray(a), np.asarray(b)) < 1e-3
 
 
+def test_std_roundtrip_delta(tmp_path):
+    """QuantizedWithDelta params (delta_tensor_ratio > 0) must survive the
+    Std container (ADVICE r1: previously crashed in the dense fallback)."""
+    from inferflow_tpu.quant.delta import (extract_delta, QuantizedWithDelta,
+                                           apply_delta)
+    from inferflow_tpu.quant.codec_np import quantize_np
+    from inferflow_tpu.quant.codec_jax import QuantizedTensor
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(128, 64)).astype(np.float32)
+    w[7, 3] = 40.0  # an outlier for the delta to capture
+    base, delta = extract_delta(w, 0.01)
+    qt = QuantizedTensor.from_np(quantize_np(base, "Q4_B64T1"))
+    qwd = QuantizedWithDelta(qt, delta)
+
+    spec = make_spec("test-tiny", layers=1, embd=64, heads=4, kv_heads=4,
+                     inter=128, vocab=128)
+    params = {"layers": [{"attn": {"wq": qwd}}]}
+    path = str(tmp_path / "delta.std.safetensors")
+    save_std(path, spec, params)
+    _, params2 = load_std(path)
+    got = params2["layers"][0]["attn"]["wq"]
+    assert isinstance(got, QuantizedWithDelta)
+    np.testing.assert_array_equal(np.asarray(got.delta.idx),
+                                  np.asarray(qwd.delta.idx))
+    x = jnp.asarray(rng.normal(size=(2, 128)), jnp.bfloat16)
+    a = np.asarray(apply_delta(x, qwd.delta), np.float32)
+    b = np.asarray(apply_delta(x, got.delta), np.float32)
+    np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-2)
+
+
 def test_tensor_util():
     a = np.ones((4, 4), np.float32)
     b = a + 1e-5
