@@ -462,22 +462,67 @@ def _tileable(fmt: QuantFormat, k: int, n: int,
     return tk is not None and _pick_tile(n, 1024, 128) is not None
 
 
+def storage_k(qt: QuantizedTensor) -> int:
+    """Stored K rows (>= logical K when the tensor was padded for tiling)."""
+    fmt = get_format(qt.format)
+    return int(qt.scale.shape[-2]) * fmt.block
+
+
+def pad_weight_for_tpu(qt: QuantizedTensor) -> QuantizedTensor:
+    """Pad a quantized tensor's K storage up to the kernel's K-tile unit.
+
+    Awkward K values (e.g. llama2-7b's intermediate 11008 = 256*43) have no
+    tile satisfying every alignment constraint, which forced the XLA
+    dequantize fallback — materializing the full bf16 weight per step.
+    Padding K to a multiple of the tile unit costs a few % extra HBM but
+    keeps every matmul on the fused kernel.  Pad blocks carry scale=0 /
+    base=0, so they dequantize to exact zeros and contribute nothing; the
+    logical shape is unchanged (quantized_matmul zero-pads x to match).
+    """
+    fmt = get_format(qt.format)
+    k, n = int(qt.shape[-2]), int(qt.shape[-1])
+    pair8 = fmt.pair_base11 and "pair8" in qt.planes
+    if _tileable(fmt, k, n, pair8):
+        return qt
+    unit = _tk_unit(fmt, pair8)
+    k_s = storage_k(qt)
+    target = ((k_s + unit - 1) // unit) * unit
+    if target == k_s or not _tileable(fmt, target, n, pair8):
+        return qt  # padding can't help (e.g. N untileable)
+
+    def padk(arr, rows_per_k_num: int, rows_per_k_den: int):
+        pad = (target - k_s) * rows_per_k_num // rows_per_k_den
+        widths = [(0, 0)] * (arr.ndim - 2) + [(0, pad), (0, 0)]
+        return jnp.pad(arr, widths)
+
+    planes = {}
+    for name, p in qt.planes.items():
+        rows = int(p.shape[-2])
+        planes[name] = padk(p, rows, k_s)
+    scale = padk(qt.scale, 1, fmt.block)
+    base = None if qt.base is None else padk(qt.base, 1, fmt.block)
+    return QuantizedTensor(qt.format, qt.shape, planes, scale, base)
+
+
 def quantized_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     """y = x @ dequant(qt); x: (..., K). Pallas on TPU, XLA fallback else."""
     fmt = get_format(qt.format)
     k, n = int(qt.shape[-2]), int(qt.shape[-1])
+    k_s = storage_k(qt)
     lead = x.shape[:-1]
     pair8 = fmt.pair_base11 and "pair8" in qt.planes
     use_pallas = (jax.default_backend() == "tpu"
-                  and _tileable(fmt, k, n, pair8))
+                  and _tileable(fmt, k_s, n, pair8))
     if not use_pallas:
         wd = dequantize(qt, x.dtype)
         return jnp.matmul(x, wd, preferred_element_type=jnp.float32
                           ).astype(x.dtype)
     x2 = x.reshape(-1, k)
+    if k_s != k:  # K-padded storage: pad activations with zeros to match
+        x2 = jnp.pad(x2, ((0, 0), (0, k_s - k)))
     names = sorted(qt.planes)
     out = _pallas_matmul(x2, tuple(qt.planes[nm] for nm in names),
-                         qt.scale, qt.base, fmt_name=qt.format, k=k, n=n,
+                         qt.scale, qt.base, fmt_name=qt.format, k=k_s, n=n,
                          plane_names=tuple(names))
     return out.reshape(lead + (n,))
 
@@ -486,15 +531,18 @@ def quantized_matmul_interpret(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     """Interpreter-mode kernel run (CPU correctness tests)."""
     fmt = get_format(qt.format)
     k, n = int(qt.shape[-2]), int(qt.shape[-1])
-    if not _tileable(fmt, k, n, fmt.pair_base11 and "pair8" in qt.planes):
+    k_s = storage_k(qt)
+    if not _tileable(fmt, k_s, n, fmt.pair_base11 and "pair8" in qt.planes):
         wd = dequantize(qt, x.dtype)
         return jnp.matmul(x, wd, preferred_element_type=jnp.float32
                           ).astype(x.dtype)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
+    if k_s != k:
+        x2 = jnp.pad(x2, ((0, 0), (0, k_s - k)))
     names = sorted(qt.planes)
     out = _pallas_matmul(x2, tuple(qt.planes[nm] for nm in names),
-                         qt.scale, qt.base, fmt_name=qt.format, k=k, n=n,
+                         qt.scale, qt.base, fmt_name=qt.format, k=k_s, n=n,
                          plane_names=tuple(names), interpret=True)
     return out.reshape(lead + (n,))
 

@@ -137,6 +137,7 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
         if k % blk == 0:
             # native C++ codec (multithreaded), codec_np fallback
             from ..quant.codec_native import quantize as _quantize
+            from ..kernels.dequant_matmul import pad_weight_for_tpu
             arr_f32 = arr.astype(np.float16).astype(np.float32)
             if spec.delta_tensor_ratio > 0:
                 # sparse outlier extraction before quantization
@@ -144,9 +145,11 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
                 from ..quant.delta import extract_delta, QuantizedWithDelta
                 base, delta = extract_delta(arr_f32,
                                             spec.delta_tensor_ratio)
-                qt = QuantizedTensor.from_np(_quantize(base, et))
+                qt = pad_weight_for_tpu(
+                    QuantizedTensor.from_np(_quantize(base, et)))
                 return QuantizedWithDelta(qt, delta)
-            return QuantizedTensor.from_np(_quantize(arr_f32, et))
+            return pad_weight_for_tpu(
+                QuantizedTensor.from_np(_quantize(arr_f32, et)))
     # dense: norms/biases in fp32-accumulating bf16; embeddings bf16
     return jnp.asarray(arr.astype(np.float32), jnp.bfloat16)
 

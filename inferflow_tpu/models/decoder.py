@@ -97,12 +97,23 @@ def attention_block(spec: ModelSpec, lp: dict, x, positions,
     if layer_cache is not None:
         from ..runtime.kv_cache import update_layer_cache, read_layer_cache
         layer_cache = update_layer_cache(layer_cache, k, v)
-        k_full, v_full = read_layer_cache(layer_cache, x.dtype)
-        kv_len = layer_cache["start"] + t
-        if spec.pos_embedding_alg == "alibi":
-            bias = alibi_bias(n_heads, jnp.arange(k_full.shape[1]))
-        out = mha(q, k_full, v_full, q_positions=positions, kv_len=kv_len,
-                  kq_scale=spec.kq_scale, bias=bias)
+        if "cache" in layer_cache and t == 1:
+            # fused Pallas decode attention: Q8 dequant-on-read + online
+            # softmax directly over the stacked cache, per-slot lengths
+            # (reference fused softmax unary_tensor_opr.h:460-536 +
+            # KV dequant kv_cache.cc:104-249)
+            from ..kernels.attention import decode_attention
+            out = decode_attention(q, layer_cache["cache"],
+                                   layer_cache["layer"],
+                                   layer_cache["start"] + 1,
+                                   kq_scale=spec.kq_scale)
+        else:
+            k_full, v_full = read_layer_cache(layer_cache, x.dtype)
+            kv_len = layer_cache["start"] + t
+            if spec.pos_embedding_alg == "alibi":
+                bias = alibi_bias(n_heads, jnp.arange(k_full.shape[1]))
+            out = mha(q, k_full, v_full, q_positions=positions,
+                      kv_len=kv_len, kq_scale=spec.kq_scale, bias=bias)
     else:
         if spec.pos_embedding_alg == "alibi":
             bias = alibi_bias(n_heads, jnp.arange(t))
@@ -287,9 +298,14 @@ def decoder_forward(spec: ModelSpec, params: dict, tokens, positions,
     return logits, cache
 
 
-def stack_layers(layers: list) -> dict:
+def stack_layers(layers: list, consume: bool = False) -> dict:
     """Stack homogeneous per-layer param dicts into one leading-L pytree
-    (for lax.scan over layers and layer-sharded pipeline parallelism)."""
+    (for lax.scan over layers and layer-sharded pipeline parallelism).
+
+    consume=True releases each per-layer leaf as soon as its stacked copy
+    exists (deletes the dict entries), holding peak memory to weights +
+    one stacked slot instead of 2x the weights — necessary to stack
+    10GB-class models on a 16GB chip."""
     import numpy as _np
 
     def stack(vals):
@@ -322,7 +338,26 @@ def stack_layers(layers: list) -> dict:
         keys.update(l.keys())
     if any(set(l.keys()) != keys for l in layers):
         raise ValueError("layers are not homogeneous; cannot stack")
-    return stack(layers)
+    if not consume:
+        return stack(layers)
+
+    def rec(nodes):
+        out = {}
+        for key in list(nodes[0].keys()):
+            vals = [nd[key] for nd in nodes]
+            if isinstance(vals[0], dict):
+                out[key] = rec(vals)
+            elif isinstance(vals[0], list) and vals[0] \
+                    and isinstance(vals[0][0], dict):
+                out[key] = [rec([v[j] for v in vals])
+                            for j in range(len(vals[0]))]
+            else:
+                out[key] = stack(vals)
+            for nd in nodes:
+                del nd[key]
+        return out
+
+    return rec(layers)
 
 
 def _concat_weights(parts):
@@ -479,11 +514,27 @@ def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
     and restacks the updated copy every iteration, while static layer
     indices fuse into the attention reads and `.at[i].set` writes in
     place.  Compile time grows with depth, so prefill (fewer invocations
-    per token) keeps the scan path.  Does NOT advance cache.length."""
+    per token) keeps the scan path.  Does NOT advance cache.length.
+
+    Single-token decode on TPU routes attention through the fused Pallas
+    kernel (kernels/attention.py): the full stacked cache goes straight to
+    the kernel with the layer index, so no per-layer cache slice is ever
+    copied in HBM."""
     n_layers = _stacked_layer_count(stacked)
+    fused = False
+    if cache is not None and use_pallas and x.shape[1] == 1 \
+            and jax.default_backend() == "tpu":
+        from ..kernels.attention import decode_attention_supported
+        fused = decode_attention_supported(cache, spec, x.shape[1])
     for i in range(n_layers):
         lp = _index_layer(stacked, i)
-        lc = None if cache is None else layer_cache_slice_static(cache, i)
+        if cache is None:
+            lc = None
+        elif fused:
+            from ..runtime.kv_cache import layer_cache_fused
+            lc = layer_cache_fused(cache, i)
+        else:
+            lc = layer_cache_slice_static(cache, i)
         x, lc = decoder_layer(spec, lp, x, positions, lc,
                               use_pallas=use_pallas)
         if cache is not None:

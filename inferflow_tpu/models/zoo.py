@@ -64,7 +64,8 @@ def _maybe_quant(w, weight_format: Optional[str]):
         # K not a block multiple: keep dense (mirrors the loader's
         # small/odd-tensor exemption, network_builder.cc:1648-1652)
         return w.astype(jnp.bfloat16)
-    return quantize(w, weight_format)
+    from ..kernels.dequant_matmul import pad_weight_for_tpu
+    return pad_weight_for_tpu(quantize(w, weight_format))
 
 
 def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
@@ -139,7 +140,7 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
     }
     if stacked:
         from .decoder import stack_layers
-        params["layers"] = stack_layers(params["layers"])
+        params["layers"] = stack_layers(params["layers"], consume=True)
     return params
 
 

@@ -96,9 +96,9 @@ def shard_params(params: dict, mesh: Mesh, stacked: bool = True) -> dict:
 
 
 def kv_cache_specs(quantized: bool):
-    """PartitionSpecs for KVCache members (L,B,S,H,D): layers over 'pp',
+    """PartitionSpecs for KVCache members (L,B,H,S,D): layers over 'pp',
     slots over 'dp', kv heads over 'tp'."""
-    data = P("pp", "dp", None, "tp", None)
+    data = P("pp", "dp", "tp", None, None)
     return {
         "k": data, "v": data,
         "k_scale": data if quantized else None,

@@ -124,30 +124,35 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """
     fmt = get_format(qt.format)
     k, n = qt.shape[-2], qt.shape[-1]
+    # stored K may exceed logical K (kernels.dequant_matmul.pad_weight_for_tpu
+    # pads with zero-scale blocks); slice back at the end
+    k_s = int(qt.scale.shape[-2]) * fmt.block
     scale = qt.scale.astype(jnp.float32)
 
     if fmt.base_kind == "zero":
-        q = _codes_jnp(qt, fmt, k)
+        q = _codes_jnp(qt, fmt, k_s)
         q = jnp.where(q >= 128, q - 256, q)
         sc = jnp.repeat(scale, fmt.block, axis=0)
-        return (q.astype(jnp.float32) * sc).astype(dtype)
+        w = (q.astype(jnp.float32) * sc).astype(dtype)
+        return w[:k] if k_s != k else w
 
     base = qt.base.astype(jnp.float32)
     if fmt.pair_base11:
         if "pair8" in qt.planes:
             pair = qt.planes["pair8"].astype(jnp.int32)
         else:
-            pair = _codes_jnp(qt, fmt, k // 2)  # (K/2, N) base-11 codes
+            pair = _codes_jnp(qt, fmt, k_s // 2)  # (K/2, N) base-11 codes
         pf = pair.astype(jnp.float32)
         v1 = jnp.floor((pf + 0.5) * (1.0 / 11.0))  # exact for 0..120
         v0 = pf - 11.0 * v1
         # value 2j -> v0[j], value 2j+1 -> v1[j]: interleave along axis 0
-        q = jnp.stack([v0, v1], axis=1).reshape(k, n)
+        q = jnp.stack([v0, v1], axis=1).reshape(k_s, n)
     else:
-        q = _codes_jnp(qt, fmt, k).astype(jnp.float32)
+        q = _codes_jnp(qt, fmt, k_s).astype(jnp.float32)
     sc = jnp.repeat(scale, fmt.block, axis=0)
     bs = jnp.repeat(base, fmt.block, axis=0)
-    return (q * sc + bs).astype(dtype)
+    w = (q * sc + bs).astype(dtype)
+    return w[:k] if k_s != k else w
 
 
 def quantize_q8_sym(x: jax.Array, block: int = 32):

@@ -78,13 +78,17 @@ def make_host_layer_fn(spec: ModelSpec, use_pallas: bool = True):
 
     def fn(lp, x, k_ctx, v_ctx, positions, start):
         t = x.shape[1]
-        lc = {"k": k_ctx, "v": v_ctx, "start": start}
+        # layer-cache storage layout is (B, H, S, D) (runtime/kv_cache.py)
+        lc = {"k": k_ctx.transpose(0, 2, 1, 3),
+              "v": v_ctx.transpose(0, 2, 1, 3), "start": start}
         x, lc = decoder_layer(spec, lp, x, positions, lc,
                               use_pallas=use_pallas)
 
         def rows(buf, s):
-            return jax.lax.dynamic_slice(
-                buf, (s,) + (0,) * (buf.ndim - 1), (t,) + buf.shape[1:])
+            # buf: (H, S, D) for one slot -> the (T, H, D) rows just written
+            sl = jax.lax.dynamic_slice(
+                buf, (0, s, 0), (buf.shape[0], t, buf.shape[2]))
+            return sl.transpose(1, 0, 2)
 
         k_new = jax.vmap(rows)(lc["k"], start)
         v_new = jax.vmap(rows)(lc["v"], start)

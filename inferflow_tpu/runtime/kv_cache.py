@@ -2,10 +2,16 @@
 
 TPU-native redesign of the reference's per-query per-layer KV tensors
 (src/transformer/kv_cache.h:80, kv_cache.cc): instead of per-query
-cudaMalloc'd buffers, one donated (L, B, S, H, D) array per K/V with
+cudaMalloc'd buffers, one donated (L, B, H, S, D) array per K/V with
 per-slot valid lengths, so the decode step is a single jitted program over
 all slots.  Optional Q8 storage mirrors GpuLayerKVCache's quantize-on-set /
 dequantize-on-get (kv_cache.cc:104-249) using the symmetric Q8_B32T2 codec.
+
+Storage layout is (L, B, H, S, D) — heads OUTSIDE the sequence axis — so
+the fused decode-attention kernel (kernels/attention.py) streams clean
+(seq_block, head_dim) tiles per head with the layer index prefetched; the
+XLA helpers below transpose to the (B, S, H, D) convention at the API
+boundary, so model code never sees the storage order.
 """
 
 from __future__ import annotations
@@ -31,7 +37,8 @@ def kv_block_for(head_dim: int) -> int:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    """k/v: (L, B, S, H, D) bf16, or int8 codes + (L, B, S, H, D/32) f16 scales."""
+    """k/v: (L, B, H, S, D) bf16, or int8 codes + (L, B, H, S, D/32) f16
+    scales."""
 
     k: jax.Array
     v: jax.Array
@@ -56,12 +63,12 @@ class KVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @classmethod
     def create(cls, layers: int, batch: int, max_len: int, kv_heads: int,
                head_dim: int, dtype=jnp.bfloat16, quantized: bool = False):
-        shape = (layers, batch, max_len, kv_heads, head_dim)
+        shape = (layers, batch, kv_heads, max_len, head_dim)
         if quantized:
             blk = kv_block_for(head_dim)
             k = jnp.zeros(shape, dtype=jnp.int8)
@@ -74,28 +81,28 @@ class KVCache:
         v = jnp.zeros(shape, dtype=dtype)
         return cls(k, v, None, None, jnp.zeros((batch,), jnp.int32))
 
-    def update_layer(self, layer: int, k_new: jax.Array, v_new: jax.Array,
+    def update_layer(self, layer, k_new: jax.Array, v_new: jax.Array,
                      start: jax.Array) -> "KVCache":
-        """Write (B, T, H, D) new K/V rows at per-slot offsets start (B,)."""
+        """Write (B, T, H, D) new K/V rows at per-slot offsets start (B,).
+        `layer` may be a traced scalar (dynamic_update_slice handles it)."""
 
         blk = kv_block_for(self.k.shape[-1])
+        k_t = k_new.transpose(0, 2, 1, 3)  # (B, H, T, D)
+        v_t = v_new.transpose(0, 2, 1, 3)
 
-        def write(cache_l, new, scale_l):
+        def write(cache_all, new, scale_all):
             if self.quantized:
                 codes, scales = quantize_q8_sym(new, blk)
-                cache_l = _scatter_rows(cache_l, codes, start)
-                scale_l = _scatter_rows(scale_l, scales, start)
-                return cache_l, scale_l
-            return _scatter_rows(cache_l, new.astype(cache_l.dtype), start), None
+                cache_all = _scatter_layer_rows(cache_all, codes, layer,
+                                                start)
+                scale_all = _scatter_layer_rows(scale_all, scales, layer,
+                                                start)
+                return cache_all, scale_all
+            return _scatter_layer_rows(
+                cache_all, new.astype(cache_all.dtype), layer, start), None
 
-        k_l, ks_l = write(self.k[layer],
-                          k_new, self.k_scale[layer] if self.quantized else None)
-        v_l, vs_l = write(self.v[layer],
-                          v_new, self.v_scale[layer] if self.quantized else None)
-        k = self.k.at[layer].set(k_l)
-        v = self.v.at[layer].set(v_l)
-        ks = self.k_scale.at[layer].set(ks_l) if self.quantized else None
-        vs = self.v_scale.at[layer].set(vs_l) if self.quantized else None
+        k, ks = write(self.k, k_t, self.k_scale)
+        v, vs = write(self.v, v_t, self.v_scale)
         return KVCache(k, v, ks, vs, self.length)
 
     def read_layer(self, layer: int, dtype=jnp.bfloat16):
@@ -106,11 +113,26 @@ class KVCache:
                                   blk, dtype)
             v = dequantize_q8_sym(self.v[layer], self.v_scale[layer],
                                   blk, dtype)
-            return k, v
-        return self.k[layer].astype(dtype), self.v[layer].astype(dtype)
+        else:
+            k = self.k[layer].astype(dtype)
+            v = self.v[layer].astype(dtype)
+        return k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
     def with_length(self, length: jax.Array) -> "KVCache":
         return KVCache(self.k, self.v, self.k_scale, self.v_scale, length)
+
+
+def _scatter_layer_rows(cache: jax.Array, new: jax.Array, layer,
+                        start: jax.Array):
+    """cache: (L, B, H, S, ...); new: (B, H, T, ...); start: (B,) ->
+    per-slot dynamic_update_slice along the sequence axis of one layer."""
+
+    def one(c, n, s):
+        # c: (L, H, S, ...) for one slot; write at (layer, 0, s, ...)
+        idx = (layer, 0, s) + (0,) * (c.ndim - 3)
+        return jax.lax.dynamic_update_slice(c, n[None].astype(c.dtype), idx)
+
+    return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(cache, new, start)
 
 
 def _scatter_rows(cache: jax.Array, new: jax.Array, start: jax.Array):
@@ -125,7 +147,9 @@ def _scatter_rows(cache: jax.Array, new: jax.Array, start: jax.Array):
 
 
 def layer_cache_slice(cache: KVCache, layer: int) -> dict:
-    """Per-layer cache view used by the decoder layer functions."""
+    """Per-layer cache view used by the decoder layer functions.
+    Slices carry the storage layout (B, H, S, D); the read/update helpers
+    below convert to/from the model's (B, T, H, D) convention."""
     lc = {"k": cache.k[layer], "v": cache.v[layer], "start": cache.length}
     if cache.quantized:
         lc["k_scale"] = cache.k_scale[layer]
@@ -133,7 +157,16 @@ def layer_cache_slice(cache: KVCache, layer: int) -> dict:
     return lc
 
 
+def layer_cache_fused(cache: KVCache, layer) -> dict:
+    """Layer 'view' for the fused decode path: the FULL stacked cache plus
+    a layer index — no per-layer slice is ever materialized (the Pallas
+    kernel indexes HBM directly via scalar prefetch)."""
+    return {"cache": cache, "layer": layer, "start": cache.length}
+
+
 def store_layer_cache(cache: KVCache, layer: int, lc: dict) -> KVCache:
+    if "cache" in lc:  # fused path: already the full cache
+        return lc["cache"]
     k = cache.k.at[layer].set(lc["k"])
     v = cache.v.at[layer].set(lc["v"])
     ks = cache.k_scale.at[layer].set(lc["k_scale"]) if cache.quantized else None
@@ -142,27 +175,47 @@ def store_layer_cache(cache: KVCache, layer: int, lc: dict) -> KVCache:
 
 
 def update_layer_cache(lc: dict, k_new: jax.Array, v_new: jax.Array) -> dict:
-    """Append (B, T, H, D) rows at lc['start']; quantizes if storage is int8."""
+    """Append (B, T, H, D) rows at lc['start']; quantizes if storage is
+    int8.  For fused views, delegates to KVCache.update_layer."""
+    if "cache" in lc:
+        cache = lc["cache"].update_layer(lc["layer"], k_new, v_new,
+                                         lc["start"])
+        return dict(lc, cache=cache)
     quantized = "k_scale" in lc
     start = lc["start"]
     out = dict(lc)
+    kt = k_new.transpose(0, 2, 1, 3)  # (B, H, T, D)
+    vt = v_new.transpose(0, 2, 1, 3)
+
+    def scat(cache, new):
+        def one(c, n, s):
+            idx = (0, s) + (0,) * (c.ndim - 2)
+            return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), idx)
+        return jax.vmap(one)(cache, new, start)
+
     if quantized:
         blk = kv_block_for(k_new.shape[-1])
-        kc, ks = quantize_q8_sym(k_new, blk)
-        vc, vs = quantize_q8_sym(v_new, blk)
-        out["k"] = _scatter_rows(lc["k"], kc, start)
-        out["v"] = _scatter_rows(lc["v"], vc, start)
-        out["k_scale"] = _scatter_rows(lc["k_scale"], ks, start)
-        out["v_scale"] = _scatter_rows(lc["v_scale"], vs, start)
+        kc, ks = quantize_q8_sym(kt, blk)
+        vc, vs = quantize_q8_sym(vt, blk)
+        out["k"] = scat(lc["k"], kc)
+        out["v"] = scat(lc["v"], vc)
+        out["k_scale"] = scat(lc["k_scale"], ks)
+        out["v_scale"] = scat(lc["v_scale"], vs)
     else:
-        out["k"] = _scatter_rows(lc["k"], k_new.astype(lc["k"].dtype), start)
-        out["v"] = _scatter_rows(lc["v"], v_new.astype(lc["v"].dtype), start)
+        out["k"] = scat(lc["k"], kt)
+        out["v"] = scat(lc["v"], vt)
     return out
 
 
 def read_layer_cache(lc: dict, dtype=jnp.bfloat16):
+    """Full (B, S, H, D) K/V from a layer view (XLA attention path)."""
+    if "cache" in lc:
+        return lc["cache"].read_layer(lc["layer"], dtype)
     if "k_scale" in lc:
         blk = kv_block_for(lc["k"].shape[-1])
-        return (dequantize_q8_sym(lc["k"], lc["k_scale"], blk, dtype),
-                dequantize_q8_sym(lc["v"], lc["v_scale"], blk, dtype))
-    return lc["k"].astype(dtype), lc["v"].astype(dtype)
+        k = dequantize_q8_sym(lc["k"], lc["k_scale"], blk, dtype)
+        v = dequantize_q8_sym(lc["v"], lc["v_scale"], blk, dtype)
+    else:
+        k = lc["k"].astype(dtype)
+        v = lc["v"].astype(dtype)
+    return k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
