@@ -68,6 +68,26 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, ("dp", "pp", "tp"))
 
 
+def mesh_from_groups(groups, devices: Optional[Sequence] = None
+                     ) -> Optional[Mesh]:
+    """Build the serving mesh from parsed ini device groups
+    (`devices = 0&1;2&3` -> [[0,1],[2,3]]): `;` separates layer (pp)
+    groups, `&` tensor (tp) ranks (reference LoadDeviceGroups,
+    inference_engine.cc:1738-1783; strategy inference :1509-1515).
+    Returns None for a single device (plain single-chip engine)."""
+    ids = [i for g in groups for i in g]
+    if len(ids) <= 1:
+        return None
+    if len({len(g) for g in groups}) != 1:
+        raise ValueError(f"device groups must be equal-sized: {groups}")
+    devices = list(devices if devices is not None else jax.devices())
+    if max(ids) >= len(devices):
+        raise ValueError(f"device id {max(ids)} requested but only "
+                         f"{len(devices)} devices are visible")
+    return make_mesh([devices[i] for i in ids], dp=1, pp=len(groups),
+                     tp=len(groups[0]))
+
+
 def strategy_to_mesh(strategy: str, n_devices: int) -> Tuple[int, int, int]:
     """Map the reference's MultiGpuStrategy names onto mesh factors
     (network_structure.h:114-119)."""

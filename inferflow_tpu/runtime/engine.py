@@ -84,10 +84,24 @@ class InferenceEngine:
                  tokenizer=None, vocab=None,
                  kv_cache_quantized: Optional[bool] = None,
                  use_pallas: bool = True,
-                 cpu_layer_count: int = 0):
+                 cpu_layer_count: int = 0,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with ('dp','pp','tp') axes —
+        the serving engine's multi-device path (reference
+        Infer_TensorParallelism inference_engine.cc:1222-1296 +
+        BuildDeviceNetwork_ByTensor/ByLayer network_builder.cc:1373-1406):
+        weights are col/row-split over 'tp', the stacked layer axis over
+        'pp', batch slots over 'dp'; XLA inserts the collectives the
+        reference hand-rolled with its phase barrier."""
         self.spec = spec
         hp = spec.hyper_params
         self.params = params
+        self.mesh = mesh
+        if mesh is not None and (spec.host_kv_cache_percent > 0
+                                 or cpu_layer_count > 0
+                                 or spec.decoder_cpu_layer_count > 0):
+            raise ValueError("host offload paths are single-device; "
+                             "drop `devices` groups or the offload knobs")
         if isinstance(params.get("layers"), list):
             # fuse QKV / W1|W3 to cut kernel launches per layer
             from ..models.decoder import fuse_layer_weights
@@ -117,7 +131,8 @@ class InferenceEngine:
         # host, upload only the (B, T, E) rows per step.  Requires an
         # untied lm_head (tied heads still need the table in HBM).
         self.host_embeddings: Optional[np.ndarray] = None
-        if (spec.be_host_embeddings and "lm_head" in self.params
+        if (spec.be_host_embeddings and mesh is None
+                and "lm_head" in self.params
                 and "dec_embeddings" in self.params):
             self.host_embeddings = np.asarray(
                 self.params["dec_embeddings"], dtype=np.float32)
@@ -165,6 +180,20 @@ class InferenceEngine:
             max(self.n_device_layers, 1), self.max_slots,
             self.max_context_len, hp.kv_heads, hp.head_dim,
             quantized=kv_cache_quantized)
+        if mesh is not None:
+            from ..parallel.sharding import shard_params, shard_kv_cache
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if self.max_slots % sizes.get("dp", 1):
+                raise ValueError("max_concurrent_queries must be a multiple"
+                                 f" of dp={sizes.get('dp')}")
+            if hp.decoder_layers % sizes.get("pp", 1):
+                raise ValueError(f"layers ({hp.decoder_layers}) must divide"
+                                 f" by pp={sizes.get('pp')}")
+            if hp.kv_heads % sizes.get("tp", 1):
+                raise ValueError(f"kv heads ({hp.kv_heads}) must divide by"
+                                 f" tp={sizes.get('tp')}")
+            self.params = shard_params(self.params, mesh, stacked=True)
+            self.cache = shard_kv_cache(self.cache, mesh)
         self._lengths = np.zeros((self.max_slots,), np.int32)
         eos_ids = set()
         if vocab is not None and getattr(vocab, "eos_id", -1) >= 0:
@@ -193,6 +222,24 @@ class InferenceEngine:
         if self.host_embeddings is None:
             return None
         return jnp.asarray(self.host_embeddings[tokens], jnp.bfloat16)
+
+    def _place_batch(self, arr):
+        """Slot-batched input: shard the leading (slot) axis over 'dp'."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pspec = P("dp", *([None] * (np.asarray(arr).ndim - 1)))
+        return jax.device_put(np.asarray(arr),
+                              NamedSharding(self.mesh, pspec))
+
+    def _place_rep(self, arr):
+        """Per-query input (prefill): replicated over the mesh."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        a = np.asarray(arr)
+        return jax.device_put(a, NamedSharding(self.mesh,
+                                               P(*([None] * a.ndim))))
 
     # -- jitted programs (host-KV-offload pieces) -------------------------
     def _embed_impl(self, params, tokens, embeds, positions):
@@ -305,7 +352,7 @@ class InferenceEngine:
                     qs.slot, padded, len(tokens), bucket)
             else:
                 last_logits, tmp = self._prefill_step(
-                    self.params, jnp.asarray(padded),
+                    self.params, self._place_rep(padded),
                     self._gather_embeds(padded),
                     jnp.int32(len(tokens)), bucket=bucket)
             self._scatter_prefill(qs.slot, tmp, len(tokens))
@@ -340,9 +387,9 @@ class InferenceEngine:
                 logits = self._decode_offloaded(tokens, active)
             else:
                 logits, self.cache = self._decode_step(
-                    self.params, jnp.asarray(tokens),
+                    self.params, self._place_batch(tokens),
                     self._gather_embeds(tokens),
-                    self.cache, jnp.asarray(active))
+                    self.cache, self._place_batch(active))
             self._lengths += active
             rows = np.asarray(logits, np.float32)
             from ..utils.study import TAG_LOGITS, perf_key
@@ -368,11 +415,14 @@ class InferenceEngine:
         spec = config.models[model_index]
         params = load_model(spec)
         tok = load_tokenizer(spec)
+        from ..parallel.mesh import mesh_from_groups
+        mesh = mesh_from_groups(config.device_groups)
         eng = cls(spec, params,
                   max_concurrent_queries=config.max_concurrent_queries,
                   max_context_len=spec.max_context_len,
                   tokenizer=tok, vocab=tok.vocab if tok else None,
-                  cpu_layer_count=max(config.decoder_cpu_layer_count, 0))
+                  cpu_layer_count=max(config.decoder_cpu_layer_count, 0),
+                  mesh=mesh)
         eng.study = StudyMode(enabled=config.is_study_mode,
                               show_tensors=config.show_tensors)
         eng.perf = PerfStat(enabled=config.enable_perf_stat)
