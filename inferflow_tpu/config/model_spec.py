@@ -96,6 +96,8 @@ def parse_model_spec(data: dict, sid: str = "", base_dir: str = "",
                 break
     if "has_shared_expert" in ns:
         hp.has_shared_expert = bool(ns["has_shared_expert"])
+    if "moe_norm_top_k_prob" in ns:
+        hp.moe_norm_top_k_prob = bool(ns["moe_norm_top_k_prob"])
     if "moe_layer_start" in ns:
         hp.moe_layer_start = int(ns["moe_layer_start"])
     if "moe_layer_end" in ns:

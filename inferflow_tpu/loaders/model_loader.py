@@ -113,8 +113,9 @@ def iter_checkpoint_tensors(files, fmt: str) -> Iterator[Tuple[str, np.ndarray]]
 def _weight_dtype_for(spec: ModelSpec, leaf: str, shape) -> Optional[str]:
     """Element type for a weight slot: per-tensor override, global default,
     and the small-tensor quant exemption."""
+    from ..quant.formats import GLOBAL_TYPES
     et = spec.device_weight_data_types.get(leaf, spec.device_weight_data_type)
-    if not is_quantized(et):
+    if not (is_quantized(et) or et.upper() in GLOBAL_TYPES):
         return None
     if len(shape) != 2:
         return None
@@ -130,6 +131,11 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
         arr = np.ascontiguousarray(arr.T)
     et = _weight_dtype_for(spec, leaf, arr.shape) if leaf in _QUANTIZABLE \
         else None
+    from ..quant.formats import GLOBAL_TYPES
+    if et is not None and et.upper() in GLOBAL_TYPES:
+        from ..quant.codec_jax import GlobalQuantTensor
+        return GlobalQuantTensor.quantize_np(
+            arr.astype(np.float16).astype(np.float32), et)
     if et is not None:
         k = arr.shape[0]
         from ..quant.formats import get_format

@@ -17,7 +17,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from ..models.spec import HyperParams, ModelSpec
-from ..quant.codec_jax import QuantizedTensor
+from ..quant.codec_jax import GlobalQuantTensor, QuantizedTensor
 from ..quant.delta import DeltaTensor, QuantizedWithDelta
 from .safetensors import SafetensorsFile, save_safetensors
 
@@ -49,6 +49,13 @@ def save_std(path: str, spec: ModelSpec, params: dict) -> None:
             has_delta = True
         else:
             has_delta = False
+        if isinstance(val, GlobalQuantTensor):
+            manifest["tensors"][name] = {
+                "kind": "global_quant", "gq_kind": val.kind,
+                "shape": [int(s) for s in val.shape]}
+            tensors[f"{name}:codes"] = np.asarray(val.codes)
+            tensors[f"{name}:params"] = np.asarray(val.params)
+            continue
         if isinstance(val, QuantizedTensor):
             manifest["tensors"][name] = {
                 "kind": "quant", "format": val.format,
@@ -116,6 +123,13 @@ def load_std(path: str) -> Tuple[ModelSpec, dict]:
         params: dict = {}
         for name, info in manifest["tensors"].items():
             parts = name.split(".")
+            if info["kind"] == "global_quant":
+                val = GlobalQuantTensor(
+                    info["gq_kind"], tuple(info["shape"]),
+                    jnp.asarray(sf.tensor(f"{name}:codes")),
+                    jnp.asarray(sf.tensor(f"{name}:params")))
+                _set_path(params, parts, val)
+                continue
             if info["kind"] == "quant":
                 planes = {p: jnp.asarray(sf.tensor(f"{name}:{p}"))
                           for p in info["planes"]}

@@ -94,6 +94,32 @@ def attention_block(spec: ModelSpec, lp: dict, x, positions,
                  rope_dim=rd)
 
     bias = None
+    if layer_cache is not None and "slot" in layer_cache:
+        # chunked prefill: T-token chunk of ONE slot appended to the main
+        # cache, then flash chunk attention over rows [0, start + T)
+        cache = layer_cache["cache"]
+        layer = layer_cache["layer"]
+        slot = layer_cache["slot"]
+        start = layer_cache["chunk_start"]
+        cache = cache.update_layer_slot(layer, slot, k, v, start)
+        layer_cache = dict(layer_cache, cache=cache)
+        use_fused = layer_cache.get("fused", False)
+        if use_fused:
+            from ..kernels.attention import chunk_attention
+            out = chunk_attention(q, cache, layer, slot, start,
+                                  kq_scale=spec.kq_scale)
+        else:
+            k_all, v_all = cache.read_layer(layer, x.dtype)
+            k_slot = jax.lax.dynamic_slice_in_dim(k_all, slot, 1, axis=0)
+            v_slot = jax.lax.dynamic_slice_in_dim(v_all, slot, 1, axis=0)
+            out = mha(q, k_slot, v_slot, q_positions=positions,
+                      kv_len=jnp.asarray(start + t, jnp.int32).reshape(1),
+                      kq_scale=spec.kq_scale)
+        out = out.reshape(b, t, n_heads * head_dim)
+        out = linear(out, lp["wo"], lp.get("wo_b"), use_pallas=use_pallas)
+        if spec.attn_out_scale != 1.0:
+            out = out * spec.attn_out_scale
+        return out, layer_cache
     if layer_cache is not None:
         from ..runtime.kv_cache import update_layer_cache, read_layer_cache
         layer_cache = update_layer_cache(layer_cache, k, v)
@@ -321,6 +347,12 @@ def stack_layers(layers: list, consume: bool = False) -> dict:
                 stack([v.qt for v in vals]),
                 DeltaTensor(jnp.stack([v.delta.idx for v in vals]),
                             jnp.stack([v.delta.val for v in vals])))
+        if hasattr(first, "kind"):  # GlobalQuantTensor
+            from ..quant.codec_jax import GlobalQuantTensor
+            return GlobalQuantTensor(
+                first.kind, (len(vals),) + tuple(first.shape),
+                jnp.stack([v.codes for v in vals]),
+                jnp.stack([v.params for v in vals]))
         if hasattr(first, "planes"):  # QuantizedTensor
             from ..quant.codec_jax import QuantizedTensor
             planes = {k: jnp.stack([v.planes[k] for v in vals])
@@ -448,7 +480,11 @@ def split_layers(layers, h: int):
             return {k: tail(x) for k, x in v.items()}
         if isinstance(v, list):
             return [tail(x) for x in v]
-        from ..quant.codec_jax import QuantizedTensor
+        from ..quant.codec_jax import GlobalQuantTensor, QuantizedTensor
+        if isinstance(v, GlobalQuantTensor):
+            return GlobalQuantTensor(v.kind,
+                                     (v.shape[0] - h,) + tuple(v.shape[1:]),
+                                     v.codes[h:], v.params[h:])
         if isinstance(v, QuantizedTensor):
             return QuantizedTensor(v.format, (v.shape[0] - h,) + tuple(v.shape[1:]),
                                    {k: p[h:] for k, p in v.planes.items()},
@@ -472,6 +508,10 @@ def _index_layer(stacked, i):
             from ..quant.delta import QuantizedWithDelta, DeltaTensor
             return QuantizedWithDelta(
                 sel(v.qt), DeltaTensor(v.delta.idx[i], v.delta.val[i]))
+        if hasattr(v, "kind"):  # GlobalQuantTensor
+            from ..quant.codec_jax import GlobalQuantTensor
+            return GlobalQuantTensor(v.kind, tuple(v.shape[1:]),
+                                     v.codes[i], v.params[i])
         if isinstance(v, QuantizedTensor):
             return QuantizedTensor(v.format, tuple(v.shape[1:]),
                                    {k: p[i] for k, p in v.planes.items()},
@@ -546,6 +586,29 @@ def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
 def layer_cache_slice_static(cache: KVCache, i: int) -> dict:
     from ..runtime.kv_cache import layer_cache_slice
     return layer_cache_slice(cache, i)
+
+
+def decoder_layers_chunk(spec: ModelSpec, stacked, x, positions, cache,
+                         slot, start, *, use_pallas: bool = True):
+    """Chunked-prefill layer loop: x is a (1, C) token chunk of one slot;
+    K/V rows append to the MAIN cache at `start` and attention covers
+    rows [0, start + C) with causal masking (kernels/attention.py
+    chunk_attention; XLA fallback off-TPU).  Does NOT advance
+    cache.length — the engine commits it when the prompt completes."""
+    from ..kernels.attention import decode_attention_supported
+    from ..runtime.kv_cache import store_layer_cache
+
+    fused = (use_pallas and jax.default_backend() == "tpu"
+             and decode_attention_supported(cache, spec, 1))
+    n_layers = _stacked_layer_count(stacked)
+    for i in range(n_layers):
+        lp = _index_layer(stacked, i)
+        lc = {"cache": cache, "layer": i, "slot": slot,
+              "chunk_start": start, "fused": fused}
+        x, lc = decoder_layer(spec, lp, x, positions, lc,
+                              use_pallas=use_pallas)
+        cache = store_layer_cache(cache, i, lc)
+    return x, cache
 
 
 def _stacked_layer_count(stacked) -> int:

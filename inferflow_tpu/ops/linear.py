@@ -14,9 +14,10 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
-from ..quant.codec_jax import QuantizedTensor, dequantize
+from ..quant.codec_jax import (GlobalQuantTensor, QuantizedTensor,
+                               dequantize)
 
-Weight = Union[jax.Array, QuantizedTensor]
+Weight = Union[jax.Array, QuantizedTensor, GlobalQuantTensor]
 
 # toggled by runtime config / tests; pallas kernels register here
 _PALLAS_MATMUL = None
@@ -35,6 +36,16 @@ def linear(x: jax.Array, w: Weight, bias: Optional[jax.Array] = None,
     if isinstance(w, QuantizedWithDelta):
         y = linear(x, w.qt, None, use_pallas=use_pallas)
         y = y + apply_delta(x, w.delta)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+    if isinstance(w, GlobalQuantTensor):
+        # whole-tensor 8-bit (Q8_GL/Q8_LOG): capacity formats, XLA
+        # dequant+matmul (the piecewise decode doesn't tile as cheaply as
+        # the block formats; these are rarely the hot path)
+        wd = w.dequantize(x.dtype)
+        y = jnp.matmul(x, wd, preferred_element_type=jnp.float32
+                       ).astype(x.dtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

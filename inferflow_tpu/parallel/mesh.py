@@ -100,3 +100,53 @@ def strategy_to_mesh(strategy: str, n_devices: int) -> Tuple[int, int, int]:
         dp, pp, tp = factor_mesh(n_devices)
         return (1, dp * pp, tp)
     return factor_mesh(n_devices)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (the reference has NO multi-node story — gpu_inf_global_data is
+# single-process; this is the TPU-native design: jax.distributed over DCN,
+# GSPMD collectives over ICI.  BASELINE.md target: >=1.7x tokens/s 1->2
+# hosts on v5e-16.)
+# ---------------------------------------------------------------------------
+
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int) -> None:
+    """Join the jax.distributed process group (call once per host before
+    any jax op).  coordinator: 'host0-addr:port'.  Launch the same serving
+    binary on every host with its own process_id; jax.devices() then spans
+    all hosts and make_multihost_mesh lays out the serving mesh."""
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def multihost_factors(n_hosts: int, devices_per_host: int,
+                      tp: int = 0) -> Tuple[int, int, int]:
+    """(dp, pp, tp) for a multi-host mesh: tensor parallelism stays INSIDE
+    a host (collectives ride ICI), hosts become data-parallel replicas
+    over DCN (pure throughput scaling — the >=1.7x 1->2 host target).
+    tp=0 picks the whole host as one tp group."""
+    tp = tp or devices_per_host
+    if devices_per_host % tp:
+        raise ValueError(f"tp={tp} must divide devices_per_host="
+                         f"{devices_per_host}")
+    pp = devices_per_host // tp
+    return (n_hosts, pp, tp)
+
+
+def make_multihost_mesh(tp: int = 0) -> Mesh:
+    """('dp','pp','tp') mesh over all processes' devices, DCN on 'dp' and
+    ICI inside 'pp'x'tp' (requires init_distributed first; single-process
+    it degenerates to make_mesh)."""
+    import jax
+    n_hosts = jax.process_count()
+    per_host = len(jax.devices()) // n_hosts
+    dp, pp, tp = multihost_factors(n_hosts, per_host, tp)
+    if n_hosts == 1:
+        return make_mesh(jax.devices(), dp, pp, tp)
+    from jax.experimental import mesh_utils
+    devs = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, pp, tp), dcn_mesh_shape=(dp, 1, 1),
+        devices=jax.devices())
+    return Mesh(devs, ("dp", "pp", "tp"))

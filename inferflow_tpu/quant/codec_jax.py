@@ -81,6 +81,75 @@ class QuantizedTensor:
                 "base": None if self.base is None else np.asarray(self.base)}
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GlobalQuantTensor:
+    """Whole-tensor 8-bit quantization (reference Q8_GL linear /
+    Q8_LOG log element types, quantization.cc:10-91; params fitted as in
+    DeviceTensorBuilder::Build_Q8_GlobalLinear, device_tensor_builder.cu:
+    560-580: z=0, scale1=soft_max/127, scale2=-soft_min/127).
+
+    kind: 'linear' (params = [z, scale1, scale2]) or
+          'log' (params = [base, scale, start]).
+    codes: uint8 (K, N) or layer-stacked (L, K, N).
+    """
+
+    kind: str
+    shape: tuple
+    codes: jax.Array
+    params: jax.Array  # (3,) float32
+
+    def tree_flatten(self):
+        return (self.codes, self.params), (self.kind, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+    @property
+    def nbytes(self):
+        return int(self.codes.size) + 12
+
+    @classmethod
+    def quantize_np(cls, w: np.ndarray, element_type: str
+                    ) -> "GlobalQuantTensor":
+        et = element_type.upper()
+        if et == "Q8_GL":
+            z = 0.0
+            scale1 = max(0.001, float(w.max()) - z) / 127.0
+            scale2 = max(0.001, z - float(w.min())) / 127.0
+            codes = codec_np.quantize_q8_linear_np(w, z, scale1, scale2)
+            return cls("linear", tuple(w.shape), jnp.asarray(codes),
+                       jnp.asarray([z, scale1, scale2], jnp.float32))
+        if et == "Q8_LOG":
+            base, scale, start = 1.1, 1000.0, 10.0
+            codes = codec_np.quantize_q8_log_np(w, base, int(scale),
+                                                int(start))
+            return cls("log", tuple(w.shape), jnp.asarray(codes),
+                       jnp.asarray([base, scale, start], jnp.float32))
+        raise KeyError(f"not a global quant type: {element_type}")
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        qi = self.codes.astype(jnp.int32)
+        p = self.params.astype(jnp.float32)
+        if self.kind == "linear":
+            z, s1, s2 = p[0], p[1], p[2]
+            w = jnp.where(qi >= 128, z - (qi - 128).astype(jnp.float32) * s2,
+                          z + qi.astype(jnp.float32) * s1)
+            return w.astype(dtype)
+        base, scale, start = p[0], p[1], p[2]
+        sign = jnp.where(qi >= 128, 1.0, -1.0)
+        num = jnp.where(qi >= 128, qi - 128, 128 - qi).astype(jnp.float32)
+        v_log = jnp.power(base, num - start) / scale
+        v_lin = num / scale
+        v = jnp.where(num >= start, v_log, v_lin)
+        return (v * sign).astype(dtype)
+
+
 def _unpack_plane_jnp(packed: jax.Array, bits: int, layout: str, block: int):
     """Unpack a byte plane to one value per element along axis 0.
 

@@ -209,7 +209,15 @@ class InferenceEngine:
         from ..utils.logging_util import log_memory_stat
         log_memory_stat(self.params, self.cache)
 
+        # chunked prefill: prompts longer than one chunk are processed
+        # `prefill_chunk` tokens per engine step against the MAIN cache
+        # (no temp-cache scatter), so decode latency per step stays
+        # bounded while a long prompt prefills (reference: the
+        # max_token_num=256 mixed-batch budget, inference_engine.cc:1054)
+        self.prefill_chunk = 256
         self._decode_step = jax.jit(self._decode_impl, donate_argnums=(3,))
+        self._chunk_step = jax.jit(self._chunk_impl, donate_argnums=(2,),
+                                   static_argnames=("need_logits",))
         self._prefill_step = jax.jit(self._prefill_impl,
                                      static_argnames=("bucket",))
         self._embed_step = jax.jit(self._embed_impl)
@@ -273,6 +281,25 @@ class InferenceEngine:
         logits = output_logits(self.spec, params, x,
                                use_pallas=self.use_pallas)
         return logits[0, length - 1, :], tmp
+
+    def _chunk_impl(self, params, tokens, cache, embeds, slot, start,
+                    *, need_logits: bool):
+        """One prefill chunk for one slot against the main cache.
+        tokens (1, C); slot/start scalars.  Intermediate chunks skip the
+        lm_head entirely (need_logits=False)."""
+        from ..models.decoder import (decoder_layers_chunk, embed_tokens,
+                                      output_logits)
+        c = tokens.shape[1]
+        positions = start + jnp.arange(c, dtype=jnp.int32)[None, :]
+        x = embed_tokens(self.spec, params, tokens, positions, embeds)
+        x, cache = decoder_layers_chunk(
+            self.spec, params["layers"], x, positions, cache,
+            slot, start, use_pallas=self.use_pallas)
+        if not need_logits:
+            return jnp.zeros((c, 1), jnp.float32), cache
+        logits = output_logits(self.spec, params, x,
+                               use_pallas=self.use_pallas)
+        return logits[0], cache
 
     # -- jitted programs -------------------------------------------------
     def _decode_impl(self, params, tokens, embeds, cache, active):
@@ -344,26 +371,53 @@ class InferenceEngine:
         if pending:
             qs = pending[0]
             tokens = qs.prompt_tokens
-            bucket = _bucket(len(tokens), hi=self.max_context_len)
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, :len(tokens)] = tokens
-            if self.host_kv_layers:
-                last_logits, tmp = self._prefill_offloaded(
-                    qs.slot, padded, len(tokens), bucket)
+            use_chunked = (len(tokens) > self.prefill_chunk
+                           and not self.host_kv_layers)
+            from ..utils.study import TAG_LOGITS, perf_key
+            if use_chunked:
+                c = self.prefill_chunk
+                start = qs.prefill_pos
+                n = min(c, len(tokens) - start)
+                chunk = np.zeros((1, c), np.int32)
+                chunk[0, :n] = tokens[start:start + n]
+                done = start + n >= len(tokens)
+                logits, self.cache = self._chunk_step(
+                    self.params, self._place_rep(chunk), self.cache,
+                    self._gather_embeds(chunk), jnp.int32(qs.slot),
+                    jnp.int32(start), need_logits=done)
+                qs.prefill_pos = start + n
+                if done:
+                    self.cache = self.cache.with_length(
+                        self.cache.length.at[qs.slot].set(len(tokens)))
+                    self._lengths[qs.slot] = len(tokens)
+                    row = np.asarray(logits, np.float32)[n - 1]
+                    self.study.dump(TAG_LOGITS, row,
+                                    name=f"prefill q{qs.query_id}")
+                    tok = self.strategies.choose_token(qs.query_id, row,
+                                                       qs.prompt_tokens)
+                    results.append(self._make_result(qs, tok))
+                    qs.phase = DECODING
             else:
-                last_logits, tmp = self._prefill_step(
-                    self.params, self._place_rep(padded),
-                    self._gather_embeds(padded),
-                    jnp.int32(len(tokens)), bucket=bucket)
-            self._scatter_prefill(qs.slot, tmp, len(tokens))
-            self._lengths[qs.slot] = len(tokens)
-            row = np.asarray(last_logits, np.float32)
-            from ..utils.study import TAG_LOGITS, perf_key, PHASE_LAYER_END
-            self.study.dump(TAG_LOGITS, row, name=f"prefill q{qs.query_id}")
-            tok = self.strategies.choose_token(qs.query_id, row,
-                                              qs.prompt_tokens)
-            results.append(self._make_result(qs, tok))
-            qs.phase = DECODING
+                bucket = _bucket(len(tokens), hi=self.max_context_len)
+                padded = np.zeros((1, bucket), np.int32)
+                padded[0, :len(tokens)] = tokens
+                if self.host_kv_layers:
+                    last_logits, tmp = self._prefill_offloaded(
+                        qs.slot, padded, len(tokens), bucket)
+                else:
+                    last_logits, tmp = self._prefill_step(
+                        self.params, self._place_rep(padded),
+                        self._gather_embeds(padded),
+                        jnp.int32(len(tokens)), bucket=bucket)
+                self._scatter_prefill(qs.slot, tmp, len(tokens))
+                self._lengths[qs.slot] = len(tokens)
+                row = np.asarray(last_logits, np.float32)
+                self.study.dump(TAG_LOGITS, row,
+                                name=f"prefill q{qs.query_id}")
+                tok = self.strategies.choose_token(qs.query_id, row,
+                                                  qs.prompt_tokens)
+                results.append(self._make_result(qs, tok))
+                qs.phase = DECODING
             self.perf_stat["prefill_ms"] = (time.time() - t0) * 1e3
             self.perf.add(perf_key(-1, 1), self.perf_stat["prefill_ms"])
 

@@ -38,6 +38,9 @@ class QueryState:
     phase: str = WAITING
     generated: List[int] = dataclasses.field(default_factory=list)
     finish_reason: str = ""
+    # chunked prefill: prompt tokens already written to the KV cache
+    # (reference GetLocalInput's per-query prefix_len bookkeeping)
+    prefill_pos: int = 0
 
     @property
     def context_len(self) -> int:

@@ -75,6 +75,33 @@ def test_decode_attention_traced_layer():
                            np.asarray(out1, np.float32))
 
 
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("g", [1, 2])
+def test_chunk_attention_matches_mha(quantized, g):
+    """Flash chunk attention (chunked prefill) vs the XLA einsum path."""
+    from inferflow_tpu.kernels.attention import chunk_attention
+
+    rng = np.random.default_rng(2)
+    L, B, H, S, D, C = 2, 3, 2, 512, 64, 32
+    HQ = H * g
+    slot, start = 1, 64
+    cache = KVCache.create(L, B, S, H, D, quantized=quantized)
+    cache = _fill_cache(cache, rng, [start + C] * B)
+
+    q = jnp.asarray(rng.standard_normal((1, C, HQ, D)) * 0.3, jnp.bfloat16)
+    out = chunk_attention(q, cache, 1, slot, start, kq_scale=0.9,
+                          interpret=True)
+    k_full, v_full = cache.read_layer(1)
+    k_slot = k_full[slot:slot + 1]
+    v_slot = v_full[slot:slot + 1]
+    qpos = (start + jnp.arange(C))[None, :]
+    ref = mha(q, k_slot, v_slot, q_positions=qpos,
+              kv_len=jnp.asarray([start + C], jnp.int32), kq_scale=0.9)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=0.06,
+                               atol=0.06)
+
+
 def test_supported_gates():
     cache = KVCache.create(2, 1, 256, 2, 64)
 

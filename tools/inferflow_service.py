@@ -21,7 +21,18 @@ def main():
     ap.add_argument("--quant", default="")
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--max-queries", type=int, default=8)
+    # multi-host serving (parallel/mesh.py): launch this binary on every
+    # host with the same --coordinator and its own --process-id
+    ap.add_argument("--coordinator", default="",
+                    help="host0:port for jax.distributed multi-host init")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
     args = ap.parse_args()
+
+    if args.coordinator:
+        from inferflow_tpu.parallel.mesh import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     from inferflow_tpu.runtime.engine import InferenceEngine
     from inferflow_tpu.runtime import make_engine
