@@ -36,7 +36,7 @@ def _norm(spec: ModelSpec, x, p: dict, key: str):
 
 
 def _self_attention(spec: ModelSpec, lp: dict, x, positions, *,
-                    n_heads: int, causal: bool, kv=None,
+                    n_heads: int, causal: bool, kv=None, seq_len=None,
                     use_pallas: bool = True):
     """Self- or cross-attention sub-layer.  kv: optional (B, Tk, E) source
     states for cross-attention (keys/values projected from them)."""
@@ -61,7 +61,7 @@ def _self_attention(spec: ModelSpec, lp: dict, x, positions, *,
                  rope_dim=rd)
 
     out = mha(q, k, v, q_positions=positions, causal=causal,
-              kq_scale=spec.kq_scale)
+              kv_len=seq_len, kq_scale=spec.kq_scale)
     out = out.reshape(b, t, n_heads * head_dim)
     return linear(out, lp["wo"], lp.get("wo_b"), use_pallas=use_pallas)
 
@@ -84,10 +84,11 @@ def _sublayer(spec: ModelSpec, p: dict, x, fn):
 
 
 def encoder_layer(spec: ModelSpec, lp: dict, x, positions, *,
-                  n_heads: int, use_pallas: bool = True):
+                  n_heads: int, seq_len=None, use_pallas: bool = True):
     x = _sublayer(spec, lp["attn"], x,
                   lambda h: _self_attention(spec, lp["attn"], h, positions,
                                             n_heads=n_heads, causal=False,
+                                            seq_len=seq_len,
                                             use_pallas=use_pallas))
     x = _sublayer(spec, lp["ffn"], x,
                   lambda h: _ffn(spec, lp["ffn"], h, use_pallas=use_pallas))
@@ -119,14 +120,17 @@ def encoder_embed(spec: ModelSpec, params: dict, tokens, positions,
 
 
 def encoder_forward(spec: ModelSpec, params: dict, tokens, positions,
-                    token_type=None, *, use_pallas: bool = True):
-    """Full encoder stack -> (B, T, E) hidden states."""
+                    token_type=None, *, seq_len=None,
+                    use_pallas: bool = True):
+    """Full encoder stack -> (B, T, E) hidden states.  seq_len: optional
+    (B,) valid token counts — padded positions are masked out of the
+    bidirectional attention (batched/bucketed serving)."""
     hp = spec.hyper_params
     n_heads = hp.encoder_heads or hp.decoder_heads
     x = encoder_embed(spec, params, tokens, positions, token_type)
     for lp in params["enc_layers"]:
         x = encoder_layer(spec, lp, x, positions, n_heads=n_heads,
-                          use_pallas=use_pallas)
+                          seq_len=seq_len, use_pallas=use_pallas)
     if "enc_output_norm" in params:
         x = apply_norm(spec.norm_alg, x, params.get("enc_output_norm"),
                        params.get("enc_output_norm_b"), spec.norm_eps)
@@ -176,8 +180,10 @@ def compute_cross_kv(spec: ModelSpec, layers, enc_states, *,
 
 
 def _cross_attention(spec: ModelSpec, lp: dict, x, *, n_heads: int,
-                     kv_proj, use_pallas: bool = True):
-    """Cross-attention with pre-projected K/V."""
+                     kv_proj, enc_len=None, use_pallas: bool = True):
+    """Cross-attention with pre-projected K/V.  enc_len: optional (B,)
+    valid encoder rows per slot (batched serving pads encoder outputs to
+    a common max length)."""
     hp = spec.hyper_params
     head_dim = hp.embd_dims // n_heads if n_heads else hp.head_dim
     b, t, _ = x.shape
@@ -186,14 +192,14 @@ def _cross_attention(spec: ModelSpec, lp: dict, x, *, n_heads: int,
     q = q.reshape(b, t, n_heads, head_dim)
     positions = jnp.zeros((b, t), jnp.int32)
     out = mha(q, k, v, q_positions=positions, causal=False,
-              kq_scale=spec.kq_scale)
+              kv_len=enc_len, kq_scale=spec.kq_scale)
     out = out.reshape(b, t, n_heads * head_dim)
     return linear(out, lp["wo"], lp.get("wo_b"), use_pallas=use_pallas)
 
 
 def encdec_decoder_layer(spec: ModelSpec, lp: dict, x, positions,
                          enc_states, layer_cache=None, cross_kv=None, *,
-                         use_pallas: bool = True):
+                         enc_len=None, use_pallas: bool = True):
     """Decoder layer with cross-attention over encoder states.
 
     Self-attention uses the same KV-cache machinery as decoder.py;
@@ -217,7 +223,8 @@ def encdec_decoder_layer(spec: ModelSpec, lp: dict, x, positions,
             x = _sublayer(spec, lp["cross_attn"], x,
                           lambda h: _cross_attention(
                               spec, lp["cross_attn"], h, n_heads=n_heads,
-                              kv_proj=cross_kv, use_pallas=use_pallas))
+                              kv_proj=cross_kv, enc_len=enc_len,
+                              use_pallas=use_pallas))
         else:
             x = _sublayer(spec, lp["cross_attn"], x,
                           lambda h: _self_attention(
@@ -227,6 +234,23 @@ def encdec_decoder_layer(spec: ModelSpec, lp: dict, x, positions,
     x = _sublayer(spec, lp["ffn"], x,
                   lambda h: _ffn(spec, lp["ffn"], h, use_pallas=use_pallas))
     return x, layer_cache
+
+
+def encdec_embed_dec(spec: ModelSpec, params: dict, dec_tokens, positions):
+    """Decoder-side token embedding for enc-dec models (sinusoidal /
+    learned positions), shared by encdec_forward and the batch engine."""
+    x = jnp.take(params["dec_embeddings"], dec_tokens, axis=0
+                 ).astype(jnp.bfloat16)
+    if spec.pos_embedding_alg in ("sinusoidal", "sinusoidal2"):
+        scheme = 1 if spec.pos_embedding_alg == "sinusoidal" else 2
+        pe = sinusoidal_embedding(positions.reshape(-1), x.shape[-1],
+                                  scheme=scheme, order=2)
+        x = x + pe.reshape(x.shape).astype(x.dtype)
+    if "dec_pos_embeddings" in params:
+        off = spec.pos_embedding_offset
+        x = x + jnp.take(params["dec_pos_embeddings"], positions + off,
+                         axis=0).astype(x.dtype)
+    return x
 
 
 def encdec_forward(spec: ModelSpec, params: dict, enc_tokens, dec_tokens,
@@ -256,17 +280,7 @@ def encdec_forward(spec: ModelSpec, params: dict, enc_tokens, dec_tokens,
     else:
         positions = jnp.broadcast_to(jnp.arange(td, dtype=jnp.int32)[None, :],
                                      (b, td))
-    x = jnp.take(params["dec_embeddings"], dec_tokens, axis=0
-                 ).astype(jnp.bfloat16)
-    if spec.pos_embedding_alg in ("sinusoidal", "sinusoidal2"):
-        scheme = 1 if spec.pos_embedding_alg == "sinusoidal" else 2
-        pe = sinusoidal_embedding(positions.reshape(-1), x.shape[-1],
-                                  scheme=scheme, order=2)
-        x = x + pe.reshape(x.shape).astype(x.dtype)
-    if "dec_pos_embeddings" in params:
-        off = spec.pos_embedding_offset
-        x = x + jnp.take(params["dec_pos_embeddings"], positions + off,
-                         axis=0).astype(x.dtype)
+    x = encdec_embed_dec(spec, params, dec_tokens, positions)
 
     for i, lp in enumerate(params["layers"]):
         lc = None if cache is None else layer_cache_slice(cache, i)

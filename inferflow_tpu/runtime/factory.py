@@ -13,9 +13,11 @@ from typing import Union
 from ..loaders.model_loader import load_model
 from ..tokenizer.loading import load_tokenizer
 from .engine import InferenceEngine
-from .encoder_engine import EncDecEngine, EncoderOnlyEngine
+from .encoder_engine import (EncDecBatchEngine, EncDecEngine,
+                             EncoderOnlyEngine)
 
-Engine = Union[InferenceEngine, EncoderOnlyEngine, EncDecEngine]
+Engine = Union[InferenceEngine, EncoderOnlyEngine, EncDecEngine,
+               EncDecBatchEngine]
 
 
 def make_engine(config, model_index: int = 0) -> Engine:
@@ -29,8 +31,12 @@ def make_engine(config, model_index: int = 0) -> Engine:
     if arch == "encoder_only":
         return EncoderOnlyEngine(spec, params, tokenizer=tok, vocab=vocab)
     if arch == "encoder_decoder":
-        return EncDecEngine(spec, params, tokenizer=tok, vocab=vocab,
-                            max_context_len=spec.max_context_len)
+        # continuous-batching enc-dec serving (same facade as the
+        # decoder engine; the HTTP batching core drives it directly)
+        return EncDecBatchEngine(
+            spec, params, tokenizer=tok, vocab=vocab,
+            max_concurrent_queries=config.max_concurrent_queries,
+            max_context_len=spec.max_context_len)
     return InferenceEngine(
         spec, params,
         max_concurrent_queries=config.max_concurrent_queries,

@@ -321,7 +321,8 @@ class InferFlowService:
 
     def __init__(self, engine, port: int = 8080,
                  prompt_template: str = "", model_name: str = "inferflow-tpu"):
-        if isinstance(engine, InferenceEngine):
+        from ..runtime.encoder_engine import EncDecBatchEngine
+        if isinstance(engine, (InferenceEngine, EncDecBatchEngine)):
             self.core = InferFlowServiceCore(engine, prompt_template,
                                              model_name)
         else:  # encoder archetypes: synchronous per-request serving
