@@ -20,6 +20,7 @@ Env knobs: INFERFLOW_BENCH_MODEL (zoo name), INFERFLOW_BENCH_QUANT,
 INFERFLOW_BENCH_CTX, INFERFLOW_BENCH_BATCH.
 """
 
+import functools
 import json
 import os
 import sys
@@ -31,7 +32,10 @@ import jax.numpy as jnp
 
 
 def _timed_chain(fn, state, iters):
-    """Run fn chained `iters` times; time until a real host fetch lands."""
+    """Run fn chained `iters` times; time until a real host fetch lands.
+    The state is copied first so donating step functions can't invalidate
+    the caller's buffers between chains."""
+    state = jax.tree_util.tree_map(jnp.copy, state)
     t0 = time.time()
     s = state
     for _ in range(iters):
@@ -93,7 +97,7 @@ def main():
     from inferflow_tpu.models.decoder import (decoder_layers_unrolled,
                                               embed_tokens, output_logits)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def decode_step_impl(params, state):
         tok, cache = state
         pos = cache.length[:, None]

@@ -81,6 +81,7 @@ def load_engine_config(path: str, data_root_dir: str = "",
 
     ec.max_concurrent_queries = cfg.get_int(section, "max_concurrent_queries",
                                             16)
+    ec.max_batch_tokens = cfg.get_int(section, "max_batch_tokens", 256)
     ec.decoder_cpu_layer_count = cfg.get_int(section,
                                              "decoder_cpu_layer_count", 0)
     ec.encoder_cpu_layer_count = cfg.get_int(section,

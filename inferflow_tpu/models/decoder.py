@@ -106,8 +106,9 @@ def attention_block(spec: ModelSpec, lp: dict, x, positions,
         use_fused = layer_cache.get("fused", False)
         if use_fused:
             from ..kernels.attention import chunk_attention
-            out = chunk_attention(q, cache, layer, slot, start,
-                                  kq_scale=spec.kq_scale)
+            out, cache = chunk_attention(q, cache, layer, slot, start,
+                                         kq_scale=spec.kq_scale)
+            layer_cache = dict(layer_cache, cache=cache)
         else:
             k_all, v_all = cache.read_layer(layer, x.dtype)
             k_slot = jax.lax.dynamic_slice_in_dim(k_all, slot, 1, axis=0)
@@ -127,12 +128,14 @@ def attention_block(spec: ModelSpec, lp: dict, x, positions,
             # fused Pallas decode attention: Q8 dequant-on-read + online
             # softmax directly over the stacked cache, per-slot lengths
             # (reference fused softmax unary_tensor_opr.h:460-536 +
-            # KV dequant kv_cache.cc:104-249)
+            # KV dequant kv_cache.cc:104-249).  The cache flows THROUGH
+            # the kernel (aliased) — keep the returned one.
             from ..kernels.attention import decode_attention
-            out = decode_attention(q, layer_cache["cache"],
-                                   layer_cache["layer"],
-                                   layer_cache["start"] + 1,
-                                   kq_scale=spec.kq_scale)
+            out, thru_cache = decode_attention(q, layer_cache["cache"],
+                                               layer_cache["layer"],
+                                               layer_cache["start"] + 1,
+                                               kq_scale=spec.kq_scale)
+            layer_cache = dict(layer_cache, cache=thru_cache)
         else:
             k_full, v_full = read_layer_cache(layer_cache, x.dtype)
             kv_len = layer_cache["start"] + t

@@ -480,6 +480,9 @@ class InferenceEngine:
         eng.study = StudyMode(enabled=config.is_study_mode,
                               show_tensors=config.show_tensors)
         eng.perf = PerfStat(enabled=config.enable_perf_stat)
+        if config.max_batch_tokens > 0:
+            # the reference's max_token_num prefill budget per step
+            eng.prefill_chunk = config.max_batch_tokens
         return eng
 
     # -- host-KV-offload step drivers -------------------------------------

@@ -37,9 +37,12 @@ def test_decode_attention_matches_mha(quantized, g):
     q = jnp.asarray(rng.standard_normal((B, 1, HQ, D)) * 0.3, jnp.bfloat16)
 
     for layer in [0, L - 1]:
-        out = decode_attention(q, cache, layer,
-                               jnp.asarray(lengths, jnp.int32),
-                               kq_scale=1.25, interpret=True)
+        out, cache2 = decode_attention(q, cache, layer,
+                                       jnp.asarray(lengths, jnp.int32),
+                                       kq_scale=1.25, interpret=True)
+        # pass-through cache must be bit-identical (aliased, unwritten)
+        np.testing.assert_array_equal(np.asarray(cache2.k),
+                                      np.asarray(cache.k))
         k_full, v_full = cache.read_layer(layer)
         # mha masks keys by position <= q_position and kv_len
         qpos = jnp.asarray([[l - 1] for l in lengths], jnp.int32)
@@ -59,8 +62,10 @@ def test_decode_attention_traced_layer():
     q = jnp.asarray(rng.standard_normal((B, 1, H, D)) * 0.3, jnp.bfloat16)
     lens = jnp.asarray([10], jnp.int32)
 
-    out0 = decode_attention(q, cache, jnp.int32(0), lens, interpret=True)
-    out1 = decode_attention(q, cache, jnp.int32(1), lens, interpret=True)
+    out0, _ = decode_attention(q, cache, jnp.int32(0), lens,
+                               interpret=True)
+    out1, _ = decode_attention(q, cache, jnp.int32(1), lens,
+                               interpret=True)
     k0, v0 = cache.read_layer(0)
     ref0 = mha(q, k0, v0, q_positions=jnp.asarray([[9]]), kv_len=lens)
     k1, v1 = cache.read_layer(1)
@@ -89,8 +94,8 @@ def test_chunk_attention_matches_mha(quantized, g):
     cache = _fill_cache(cache, rng, [start + C] * B)
 
     q = jnp.asarray(rng.standard_normal((1, C, HQ, D)) * 0.3, jnp.bfloat16)
-    out = chunk_attention(q, cache, 1, slot, start, kq_scale=0.9,
-                          interpret=True)
+    out, _ = chunk_attention(q, cache, 1, slot, start, kq_scale=0.9,
+                             interpret=True)
     k_full, v_full = cache.read_layer(1)
     k_slot = k_full[slot:slot + 1]
     v_slot = v_full[slot:slot + 1]

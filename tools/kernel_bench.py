@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Real-TPU kernel parity + bandwidth harness (the verify-flow gate).
+
+For each quant format: run the fused dequant-matmul Pallas kernel on the
+actual chip against the XLA dequantize+matmul reference (norm_rmsd bound,
+methodology of reference tensor_util.h:76-89), and measure effective HBM
+bandwidth (packed bytes / kernel time) with the slope protocol
+(.claude/skills/verify/SKILL.md pitfalls).
+
+Also covers the fused attention kernels (decode + chunk) vs the XLA path.
+
+Usage:  python tools/kernel_bench.py [--formats Q4,Q3H] [--k 8192] [--n 8192]
+        [--skip-perf] [--attention]
+Exit code != 0 on any parity failure — the driver can gate on it.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DEFAULT_FORMATS = ["Q8_B32T1", "Q8_B32T2", "Q6_B64T1", "Q5_B64T1",
+                   "Q5_B32T1", "Q4_B64T1", "Q4_B32T1A", "Q4_B32T2",
+                   "Q4_B16", "Q3H_B64T1", "Q3_B32T1A", "Q2_B32T1A"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--formats", default="")
+    ap.add_argument("--k", type=int, default=8192)
+    ap.add_argument("--n", type=int, default=8192)
+    ap.add_argument("--m", type=int, default=1)
+    ap.add_argument("--skip-perf", action="store_true")
+    ap.add_argument("--attention", action="store_true",
+                    help="also check the fused attention kernels")
+    ap.add_argument("--tol", type=float, default=2e-2,
+                    help="norm_rmsd bound vs the XLA dequant reference")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from inferflow_tpu.quant.codec_jax import quantize, dequantize
+    from inferflow_tpu.kernels.dequant_matmul import (quantized_matmul,
+                                                      pad_weight_for_tpu)
+    from inferflow_tpu.utils.tensor_util import norm_rmsd
+
+    if jax.default_backend() != "tpu":
+        sys.exit("kernel_bench must run on the real TPU (JAX_PLATFORMS=axon)")
+
+    formats = ([f.strip() for f in args.formats.split(",") if f.strip()]
+               or DEFAULT_FORMATS)
+    k, n, m = args.k, args.n, args.m
+    key = jax.random.PRNGKey(0)
+    kw, kx = jax.random.split(key)
+    w = jax.random.normal(kw, (k, n), jnp.float32) * 0.05
+    x = jax.random.normal(kx, (m, k), jnp.bfloat16) * 0.3
+
+    failures = 0
+    for fmt in formats:
+        qt = pad_weight_for_tpu(quantize(w, fmt))
+        y_kernel = np.asarray(quantized_matmul(x, qt), np.float32)
+        wd = dequantize(qt, jnp.float32)
+        y_ref = np.asarray(
+            jnp.matmul(x.astype(jnp.float32), wd), np.float32)
+        err = norm_rmsd(y_kernel, y_ref)
+        ok = err < args.tol
+        failures += 0 if ok else 1
+
+        line = f"{fmt:11s} parity norm_rmsd={err:.5f} {'OK' if ok else 'FAIL'}"
+        if not args.skip_perf:
+            packed = qt.nbytes
+
+            @jax.jit
+            def step(xs):
+                y = quantized_matmul(xs, qt)
+                # keep the chain dependent without growing values
+                return (jnp.tanh(y[:, :k]) * 1e-6 + x).astype(x.dtype)
+
+            s = x
+            for _ in range(3):
+                s = step(s)
+            np.asarray(s[0, :2])
+
+            def chain(it):
+                t0 = time.time()
+                ss = x
+                for _ in range(it):
+                    ss = step(ss)
+                np.asarray(ss[0, :2])
+                return time.time() - t0
+
+            t_lo, t_hi = chain(8), chain(32)
+            per = max((t_hi - t_lo) / 24, 1e-9)
+            line += f"  {packed / per / 1e9:7.1f} GB/s  ({per*1e3:.2f} ms)"
+        print(line, flush=True)
+
+    if args.attention:
+        from inferflow_tpu.runtime.kv_cache import KVCache
+        from inferflow_tpu.kernels.attention import (decode_attention,
+                                                     chunk_attention)
+        from inferflow_tpu.ops.attention import mha
+        rng = np.random.default_rng(0)
+        for D, name in ((128, "decode D=128"), (64, "decode D=64 pf=2")):
+            L, B, H, S = 2, 2, 4, 1024
+            cache = KVCache.create(L, B, S, H, D, quantized=True)
+            for layer in range(L):
+                kk = jnp.asarray(rng.standard_normal((B, S, H, D)),
+                                 jnp.float32)
+                vv = jnp.asarray(rng.standard_normal((B, S, H, D)),
+                                 jnp.float32)
+                cache = cache.update_layer(layer, kk, vv,
+                                           jnp.zeros((B,), jnp.int32))
+            lengths = [97, 1024]
+            cache = cache.with_length(jnp.asarray(lengths, jnp.int32))
+            q = jnp.asarray(rng.standard_normal((B, 1, H, D)) * 0.3,
+                            jnp.bfloat16)
+            lens = jnp.asarray(lengths, jnp.int32)
+            out, _ = decode_attention(q, cache, jnp.int32(1), lens)
+            kf, vf = cache.read_layer(1)
+            qpos = jnp.asarray([[v - 1] for v in lengths], jnp.int32)
+            ref = mha(q, kf, vf, q_positions=qpos, kv_len=lens)
+            err = norm_rmsd(np.asarray(out, np.float32),
+                            np.asarray(ref, np.float32))
+            ok = err < args.tol
+            failures += 0 if ok else 1
+            print(f"attention {name}: norm_rmsd={err:.5f} "
+                  f"{'OK' if ok else 'FAIL'}", flush=True)
+
+    if failures:
+        sys.exit(f"{failures} parity FAILURES")
+    print("all parities OK")
+
+
+if __name__ == "__main__":
+    main()
