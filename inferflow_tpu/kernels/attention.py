@@ -65,10 +65,9 @@ def _make_kernel(g: int, ts: int, d: int, blk: int, pf: int,
         # around every custom call — measured at ~0.4ms/layer at ctx 4k).
         if quantized:
             (meta_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, out_ref,
-             _k_thru, _v_thru, _ks_thru, _vs_thru,
              k_buf, ks_buf, v_buf, vs_buf, acc_ref, sems) = refs
         else:
-            (meta_ref, q_ref, k_hbm, v_hbm, out_ref, _k_thru, _v_thru,
+            (meta_ref, q_ref, k_hbm, v_hbm, out_ref,
              k_buf, v_buf, acc_ref, sems) = refs
         b = pl.program_id(0)
         h = pl.program_id(1)
@@ -191,23 +190,19 @@ def _make_kernel(g: int, ts: int, d: int, blk: int, pf: int,
 @functools.partial(jax.jit, static_argnames=("kq_scale", "interpret"))
 def _decode_attention(meta, q, k, k_scale, v, v_scale, *,
                       kq_scale: float = 1.0, interpret: bool = False):
-    """q: (B, Hq, D); k/v: (L, B, H, S, D) int8 or bf16;
-    k_scale/v_scale: (L, B, H, pf*(D//blk), S/pf) f16-as-uint16 packed
-    (runtime.kv_cache layout) or None;
+    """q: (B, Hq, D); k/v: PACKED (L, B, H, S/pf, D*pf) int8 or bf16
+    (runtime.kv_cache physical layout); k_scale/v_scale:
+    (L, B, H, pf*(D//blk), S/pf) f16-as-uint16 or None;
     meta: int32 (1 + B,) = [layer, per-slot kv length (incl. new row)].
     Returns (B, Hq, D) attention output in q.dtype.
     """
     bsz, hq, d = q.shape
-    l, _, h, s_max, _ = k.shape
+    l, _, h, s_packed, dp = k.shape
     g = hq // h
     quantized = k_scale is not None
-    pf = _pf(d)
-    # narrow heads: view pf seq rows as one 128-lane storage row (free
-    # reshape); the scale arrays are stored pre-packed by runtime.kv_cache
-    k = k.reshape(l, bsz, h, s_max // pf, d * pf)
-    v = v.reshape(l, bsz, h, s_max // pf, d * pf)
-    ts = min(_pick_ts(s_max // pf), 512)
-    blk = d * pf // k_scale.shape[-2] if quantized else 0
+    pf = dp // d
+    ts = min(_pick_ts(s_packed), 512)
+    blk = dp // k_scale.shape[-2] if quantized else 0
     scale = (1.0 / (d ** 0.5)) * kq_scale
 
     # (B, Hq, D) -> (B, H, g, D): the kv-head group becomes a block axis
@@ -241,45 +236,29 @@ def _decode_attention(meta, q, k, k_scale, v, v_scale, *,
     scratch.append(pltpu.SemaphoreType.DMA((4, 2)))
 
     kernel = _make_kernel(g, ts, d, blk, pf, quantized, scale)
-    kv_bytes = 2 * bsz * h * s_max * d * k.dtype.itemsize
-    hbm_out = pl.BlockSpec(memory_space=pltpu.HBM)
-    out_shapes = [jax.ShapeDtypeStruct((bsz, h, g, d), q.dtype),
-                  jax.ShapeDtypeStruct(k.shape, k.dtype),
-                  jax.ShapeDtypeStruct(v.shape, v.dtype)]
-    out_specs = [pl.BlockSpec((1, 1, g, d), qmap,
-                              memory_space=pltpu.VMEM), hbm_out, hbm_out]
-    if quantized:
-        out_shapes += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
-                       jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
-        out_specs += [hbm_out, hbm_out]
-        # inputs: meta(0) q(1) k(2) ks(3) v(4) vs(5)
-        aliases = {2: 1, 4: 2, 3: 3, 5: 4}
-    else:
-        aliases = {2: 1, 3: 2}
-    outs = pl.pallas_call(
+    kv_bytes = 2 * bsz * h * s_packed * dp * k.dtype.itemsize
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz, h),
             in_specs=in_specs,
-            out_specs=out_specs,
+            out_specs=pl.BlockSpec((1, 1, g, d), qmap,
+                                   memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         ),
-        out_shape=out_shapes,
-        input_output_aliases=aliases,
+        out_shape=jax.ShapeDtypeStruct((bsz, h, g, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bsz * hq * s_max * d,
+            flops=4 * bsz * hq * s_packed * dp,
             bytes_accessed=kv_bytes + q.size * q.dtype.itemsize,
-            transcendentals=bsz * hq * s_max,
+            transcendentals=bsz * hq * s_packed * pf,
         ),
         interpret=interpret,
     )(meta, *inputs)
-    out = outs[0].reshape(bsz, hq, d)
-    thru = outs[1:]
-    return out, thru
+    return out.reshape(bsz, hq, d)
 
 
 def decode_attention(q, cache, layer, lengths, *, kq_scale: float = 1.0,
@@ -290,35 +269,20 @@ def decode_attention(q, cache, layer, lengths, *, kq_scale: float = 1.0,
     (L, B, H, S, D); layer: int scalar (traced is fine — one compiled
     kernel serves every layer); lengths: (B,) valid KV rows per slot
     (INCLUDING the rows just appended this step).
-    Returns ((B, 1, Hq, D) attention output, pass-through KVCache).  The
-    cache arrays flow THROUGH the kernel via input/output aliasing —
-    callers must continue with the returned cache so the per-layer
-    update->attend chain stays in place (no defensive copies).
+    Returns ((B, 1, Hq, D) attention output, the cache).
     """
-    from ..runtime.kv_cache import KVCache
     bsz = q.shape[0]
     meta = jnp.concatenate([
         jnp.asarray(layer, jnp.int32).reshape(1),
         jnp.asarray(lengths, jnp.int32).reshape(bsz)])
     ks = cache.k_scale
     vs = cache.v_scale
-    was_f16 = ks is not None and ks.dtype == jnp.float16
-    if was_f16:
+    if ks is not None and ks.dtype == jnp.float16:
         ks = jax.lax.bitcast_convert_type(ks, jnp.uint16)
         vs = jax.lax.bitcast_convert_type(vs, jnp.uint16)
-    out, thru = _decode_attention(meta, q[:, 0], cache.k, ks, cache.v, vs,
-                                  kq_scale=kq_scale, interpret=interpret)
-    k_t = thru[0].reshape(cache.k.shape)
-    v_t = thru[1].reshape(cache.v.shape)
-    if cache.quantized:
-        ks_t, vs_t = thru[2], thru[3]
-        if was_f16:
-            ks_t = jax.lax.bitcast_convert_type(ks_t, jnp.float16)
-            vs_t = jax.lax.bitcast_convert_type(vs_t, jnp.float16)
-    else:
-        ks_t = vs_t = None
-    new_cache = KVCache(k_t, v_t, ks_t, vs_t, cache.length)
-    return out[:, None], new_cache
+    out = _decode_attention(meta, q[:, 0], cache.k, ks, cache.v, vs,
+                            kq_scale=kq_scale, interpret=interpret)
+    return out[:, None], cache
 
 
 def _make_chunk_kernel(c: int, g: int, ts: int, d: int, blk: int, pf: int,
@@ -333,10 +297,9 @@ def _make_chunk_kernel(c: int, g: int, ts: int, d: int, blk: int, pf: int,
         # cache outputs (see _make_kernel)
         if quantized:
             (meta_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, out_ref,
-             _k_thru, _v_thru, _ks_thru, _vs_thru,
              k_buf, ks_buf, v_buf, vs_buf, acc_ref, sems) = refs
         else:
-            (meta_ref, q_ref, k_hbm, v_hbm, out_ref, _k_thru, _v_thru,
+            (meta_ref, q_ref, k_hbm, v_hbm, out_ref,
              k_buf, v_buf, acc_ref, sems) = refs
         h = pl.program_id(0)
         layer = meta_ref[0]
@@ -453,14 +416,12 @@ def _chunk_attention(meta, q, k, k_scale, v, v_scale, *,
     """q: (C, Hq, D) one slot's chunk; cache arrays as in _decode_attention;
     meta: int32 (3,) = [layer, slot, start].  Returns (C, Hq, D)."""
     c, hq, d = q.shape
-    l, bsz, h, s_max, _ = k.shape
+    l, bsz, h, s_packed, dp = k.shape
     g = hq // h
     quantized = k_scale is not None
-    pf = _pf(d)
-    k = k.reshape(l, bsz, h, s_max // pf, d * pf)
-    v = v.reshape(l, bsz, h, s_max // pf, d * pf)
-    ts = min(_pick_ts(s_max // pf), 512)
-    blk = d * pf // k_scale.shape[-2] if quantized else 0
+    pf = dp // d
+    ts = min(_pick_ts(s_packed), 512)
+    blk = dp // k_scale.shape[-2] if quantized else 0
     scale = (1.0 / (d ** 0.5)) * kq_scale
 
     # (C, Hq, D) -> (H, C*g, D): per-kv-head row groups as blocks
@@ -494,73 +455,47 @@ def _chunk_attention(meta, q, k, k_scale, v, v_scale, *,
     scratch.append(pltpu.SemaphoreType.DMA((4, 2)))
 
     kernel = _make_chunk_kernel(c, g, ts, d, blk, pf, quantized, scale)
-    hbm_out = pl.BlockSpec(memory_space=pltpu.HBM)
-    out_shapes = [jax.ShapeDtypeStruct((h, c * g, d), q.dtype),
-                  jax.ShapeDtypeStruct(k.shape, k.dtype),
-                  jax.ShapeDtypeStruct(v.shape, v.dtype)]
-    out_specs = [pl.BlockSpec((1, c * g, d), qmap,
-                              memory_space=pltpu.VMEM), hbm_out, hbm_out]
-    if quantized:
-        out_shapes += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
-                       jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
-        out_specs += [hbm_out, hbm_out]
-        aliases = {2: 1, 4: 2, 3: 3, 5: 4}
-    else:
-        aliases = {2: 1, 3: 2}
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(h,),
             in_specs=in_specs,
-            out_specs=out_specs,
+            out_specs=pl.BlockSpec((1, c * g, d), qmap,
+                                   memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         ),
-        out_shape=out_shapes,
-        input_output_aliases=aliases,
+        out_shape=jax.ShapeDtypeStruct((h, c * g, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * c * hq * s_max * d,
-            bytes_accessed=2 * h * s_max * d * k.dtype.itemsize,
-            transcendentals=c * hq * s_max,
+            flops=4 * c * hq * s_packed * dp,
+            bytes_accessed=2 * h * s_packed * dp * k.dtype.itemsize,
+            transcendentals=c * hq * s_packed * pf,
         ),
         interpret=interpret,
     )(meta, *inputs)
-    out = outs[0].reshape(h, c, g, d).transpose(1, 0, 2, 3).reshape(
+    return out.reshape(h, c, g, d).transpose(1, 0, 2, 3).reshape(
         c, hq, d)
-    return out, outs[1:]
 
 
 def chunk_attention(q, cache, layer, slot, start, *, kq_scale: float = 1.0,
                     interpret: bool = False):
     """Flash chunk attention for one slot: q (1, C, Hq, D) attends to
     cache rows [0, start + C) of `slot` (the chunk's K/V must already be
-    appended).  Returns ((1, C, Hq, D), pass-through KVCache) — callers
-    continue with the returned cache (aliased through the kernel)."""
-    from ..runtime.kv_cache import KVCache
+    appended).  Returns ((1, C, Hq, D), the cache)."""
     meta = jnp.stack([jnp.asarray(layer, jnp.int32),
                       jnp.asarray(slot, jnp.int32),
                       jnp.asarray(start, jnp.int32)])
     ks = cache.k_scale
     vs = cache.v_scale
-    was_f16 = ks is not None and ks.dtype == jnp.float16
-    if was_f16:
+    if ks is not None and ks.dtype == jnp.float16:
         ks = jax.lax.bitcast_convert_type(ks, jnp.uint16)
         vs = jax.lax.bitcast_convert_type(vs, jnp.uint16)
-    out, thru = _chunk_attention(meta, q[0], cache.k, ks, cache.v, vs,
-                                 kq_scale=kq_scale, interpret=interpret)
-    k_t = thru[0].reshape(cache.k.shape)
-    v_t = thru[1].reshape(cache.v.shape)
-    if cache.quantized:
-        ks_t, vs_t = thru[2], thru[3]
-        if was_f16:
-            ks_t = jax.lax.bitcast_convert_type(ks_t, jnp.float16)
-            vs_t = jax.lax.bitcast_convert_type(vs_t, jnp.float16)
-    else:
-        ks_t = vs_t = None
-    return out[None], KVCache(k_t, v_t, ks_t, vs_t, cache.length)
+    out = _chunk_attention(meta, q[0], cache.k, ks, cache.v, vs,
+                           kq_scale=kq_scale, interpret=interpret)
+    return out[None], cache
 
 
 def decode_attention_supported(cache, spec, t: int) -> bool:
@@ -571,10 +506,9 @@ def decode_attention_supported(cache, spec, t: int) -> bool:
         return False
     if spec.pos_embedding_alg == "alibi":
         return False
-    d = cache.k.shape[-1]
+    d = cache.head_dim
     if not (d in (128, 256) or (d < 128 and 128 % d == 0)):
         return False
-    pf = _pf(d)
-    if cache.max_len % pf or _pick_ts(cache.max_len // pf) == 0:
+    if _pick_ts(cache.k.shape[3]) == 0:
         return False
     return True

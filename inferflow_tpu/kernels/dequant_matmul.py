@@ -163,34 +163,50 @@ def _make_fast_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int,
                 if base_ref.dtype == jnp.uint16 \
                 else base_ref[:].astype(jnp.float32)
 
+        # VPU op budget per weight is the kernel's bottleneck (the MXU dot
+        # is effectively free at decode shapes):
+        #   - the HIGHEST sub-value needs no mask (upper bits are zero),
+        #     the LOWEST no shift: ~1.5 ops/sub instead of 2
+        #   - signed codes sign-extend with two arithmetic shifts instead
+        #     of shift+mask+two-op sign fixup
+        #   - codes convert int32 -> bf16 once and the scale multiply runs
+        #     in bf16 (scales pre-converted per tile), dropping the
+        #     f32-multiply + f32->bf16 round-trip
         xi = 0
         shift = 0
         sc_cache = {}
         for pi, spec in enumerate(fmt.planes):
             p = 8 // spec.bits
-            mask = (1 << spec.bits) - 1
+            bits = spec.bits
+            mask = (1 << bits) - 1
             reps = fmt.block // p
             mult = float(1 << shift)
             if reps not in sc_cache:
                 sc_cache[reps] = jnp.repeat(sc_small, reps, axis=0)
-            sc = sc_cache[reps] * mult if shift else sc_cache[reps]
+            sc = (sc_cache[reps] * mult if shift
+                  else sc_cache[reps]).astype(jnp.bfloat16)
             # base folded into the FIRST plane's subs (they partition k)
             bs = None
             if has_base and pi == 0:
-                bs = jnp.repeat(bs_small, reps, axis=0)
+                bs = jnp.repeat(bs_small, reps,
+                                axis=0).astype(jnp.bfloat16)
             v = plane_refs[pi][:].astype(jnp.int32)
             if spec.layout == "split_half":
-                sub_vals = [v & 0x0F, (v >> 4) & 0x0F]
+                sub_vals = [v & 0x0F, v >> 4]
+            elif fmt.signed:
+                # arithmetic-shift sign extension: place sub s at the top,
+                # shift back down keeping the sign
+                sub_vals = [(v << (32 - bits * (s + 1))) >> (32 - bits)
+                            for s in range(p)]
             else:
-                sub_vals = [(v >> (s * spec.bits)) & mask if s else v & mask
+                sub_vals = [v >> (bits * s) if s == p - 1
+                            else ((v >> (bits * s)) & mask if s
+                                  else v & mask)
                             for s in range(p)]
             for q in sub_vals:
-                if fmt.signed:
-                    q = q - ((q >> (spec.bits - 1)) << spec.bits)
-                qf = q.astype(jnp.float32)
-                w = qf * sc + bs if bs is not None else qf * sc
-                acc_ref[:] += jnp.dot(x_refs[xi][:],
-                                      w.astype(jnp.bfloat16),
+                qb = q.astype(jnp.bfloat16)
+                w = qb * sc + bs if bs is not None else qb * sc
+                acc_ref[:] += jnp.dot(x_refs[xi][:], w,
                                       preferred_element_type=jnp.float32)
                 xi += 1
             shift += spec.bits

@@ -659,7 +659,7 @@ def decoder_layers_scan(spec: ModelSpec, stacked, x, positions,
 
     def body(h, xs):
         lp, lc = xs
-        lc = dict(lc, start=cache.length)
+        lc = dict(lc, start=cache.length, head_dim=cache.head_dim)
         if lc["k_scale"] is None:
             lc.pop("k_scale"), lc.pop("v_scale")
         h, lc = decoder_layer(spec, lp, h, positions, lc,
@@ -670,4 +670,5 @@ def decoder_layers_scan(spec: ModelSpec, stacked, x, positions,
 
     x, new_lc = jax.lax.scan(body, x, (stacked, lc_stacked))
     return x, KVCache(new_lc["k"], new_lc["v"], new_lc["k_scale"],
-                      new_lc["v_scale"], cache.length)
+                      new_lc["v_scale"], cache.length,
+                      head_dim=cache.head_dim)

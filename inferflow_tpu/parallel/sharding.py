@@ -119,4 +119,5 @@ def shard_kv_cache(cache, mesh: Mesh):
     return KVCache(put(cache.k, specs["k"]), put(cache.v, specs["v"]),
                    put(cache.k_scale, specs["k_scale"]),
                    put(cache.v_scale, specs["v_scale"]),
-                   put(cache.length, specs["length"]))
+                   put(cache.length, specs["length"]),
+                   head_dim=cache.head_dim)

@@ -72,7 +72,7 @@ def _scatter_cache(cache: KVCache, tmp: KVCache, slot, length) -> KVCache:
     ks = put(cache.k_scale, tmp.k_scale) if cache.quantized else None
     vs = put(cache.v_scale, tmp.v_scale) if cache.quantized else None
     new_len = cache.length.at[slot].set(length)
-    return KVCache(k, v, ks, vs, new_len)
+    return KVCache(k, v, ks, vs, new_len, head_dim=cache.head_dim)
 
 
 class InferenceEngine:

@@ -77,17 +77,24 @@ def make_host_layer_fn(spec: ModelSpec, use_pallas: bool = True):
     from ..models.decoder import decoder_layer
 
     def fn(lp, x, k_ctx, v_ctx, positions, start):
+        from ..runtime.kv_cache import kv_pack_for
         t = x.shape[1]
-        # layer-cache storage layout is (B, H, S, D) (runtime/kv_cache.py)
-        lc = {"k": k_ctx.transpose(0, 2, 1, 3),
-              "v": v_ctx.transpose(0, 2, 1, 3), "start": start}
+        b, s, h, d = k_ctx.shape
+        pf = kv_pack_for(d)
+        # layer-cache storage is packed (B, H, S/pf, D*pf)
+        lc = {"k": k_ctx.transpose(0, 2, 1, 3).reshape(b, h, s // pf,
+                                                       d * pf),
+              "v": v_ctx.transpose(0, 2, 1, 3).reshape(b, h, s // pf,
+                                                       d * pf),
+              "start": start, "head_dim": d}
         x, lc = decoder_layer(spec, lp, x, positions, lc,
                               use_pallas=use_pallas)
 
-        def rows(buf, s):
-            # buf: (H, S, D) for one slot -> the (T, H, D) rows just written
-            sl = jax.lax.dynamic_slice(
-                buf, (0, s, 0), (buf.shape[0], t, buf.shape[2]))
+        def rows(buf, st):
+            # buf: packed (H, S/pf, D*pf) for one slot -> the (T, H, D)
+            # rows just written
+            logical = buf.reshape(h, s, d)
+            sl = jax.lax.dynamic_slice(logical, (0, st, 0), (h, t, d))
             return sl.transpose(1, 0, 2)
 
         k_new = jax.vmap(rows)(lc["k"], start)

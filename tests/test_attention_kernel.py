@@ -17,7 +17,8 @@ from inferflow_tpu.ops.attention import mha
 
 def _fill_cache(cache: KVCache, rng, lengths):
     """Write random K/V rows into every layer up to each slot's length."""
-    l, b, h, s, d = cache.k.shape
+    l, b, h = cache.k.shape[:3]
+    s, d = cache.max_len, cache.head_dim
     for layer in range(l):
         k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
         v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
