@@ -113,6 +113,53 @@ def main():
         return decode_step_impl(params, state)
 
     mode = os.environ.get("INFERFLOW_BENCH_MODE", "decode")
+    if mode == "speculative":
+        # speculative decoding (draft + single-pass verify) vs plain greedy
+        # wall-clock; output is provably identical to plain target greedy
+        from inferflow_tpu.runtime.speculative import SpeculativeDecoder
+        draft_name = os.environ.get("INFERFLOW_BENCH_DRAFT", "stories15m")
+        draft_spec = make_spec(draft_name,
+                               vocab=spec.hyper_params.vocab_size)
+        draft_params = make_synthetic_params(draft_spec,
+                                             weight_format=quant,
+                                             stacked=True)
+        sd = SpeculativeDecoder(spec, params, draft_spec, draft_params,
+                                k=int(os.environ.get("INFERFLOW_SPEC_K",
+                                                     "4")),
+                                max_context=ctx)
+        prompt = list(range(4, 20))
+        n_new = 96
+        sd.generate(prompt, max_new_tokens=8)  # warm
+        t0 = time.time()
+        out = sd.generate(prompt, max_new_tokens=n_new)
+        spec_s = time.time() - t0
+        from inferflow_tpu.runtime.speculative import _Model
+        plain = _Model(spec, dict(params), ctx)
+        plain.reset()
+        logits = plain.run(prompt, advance=len(prompt))
+        cur = int(logits[-1].argmax())
+        plain.run([cur], advance=1)  # warm
+        plain.reset()
+        t0 = time.time()
+        logits = plain.run(prompt, advance=len(prompt))
+        toks = [int(logits[-1].argmax())]
+        for _ in range(n_new - 1):
+            logits = plain.run([toks[-1]], advance=1)
+            toks.append(int(logits[-1].argmax()))
+        plain_s = time.time() - t0
+        assert out[:len(toks)] == toks[:len(out)], "speculative != greedy"
+        acc = sd.stats["accepted"] / max(sd.stats["proposed"], 1)
+        result = {
+            "metric": f"speculative speedup ({model_name} + {draft_name} "
+                      f"draft, {quant})",
+            "value": round(plain_s / spec_s, 3), "unit": "x",
+            "vs_baseline": round(acc, 3),
+        }
+        print(json.dumps(result))
+        print(f"# spec {len(out)} tok in {spec_s:.2f}s vs plain "
+              f"{len(toks)} in {plain_s:.2f}s; accept rate {acc:.2f}",
+              file=sys.stderr)
+        return
     if mode == "prefill":
         # prompt-processing throughput: tokens/s over a 512-token prefill
         plen = int(os.environ.get("INFERFLOW_BENCH_PREFILL_LEN", "512"))

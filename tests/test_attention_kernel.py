@@ -109,7 +109,7 @@ def test_chunk_attention_matches_mha(quantized, g):
 
 
 def test_supported_gates():
-    cache = KVCache.create(2, 1, 256, 2, 64)
+    cache = KVCache.create(2, 1, 2048, 2, 64)
 
     class S:
         pos_embedding_alg = "rope"
@@ -119,5 +119,8 @@ def test_supported_gates():
     S2 = S()
     S2.pos_embedding_alg = "alibi"
     assert not decode_attention_supported(cache, S2, 1)
+    # small contexts stay on the XLA path (launch overhead > dequant cost)
+    small = KVCache.create(2, 1, 256, 2, 64)
+    assert not decode_attention_supported(small, S(), 1)
     assert _pick_ts(48) == 0  # non-tileable seq length -> XLA fallback
     assert _pick_ts(1024) == 512

@@ -77,8 +77,11 @@ def main():
             @jax.jit
             def step(xs):
                 y = quantized_matmul(xs, qt)
-                # keep the chain dependent without growing values
-                return (jnp.tanh(y[:, :k]) * 1e-6 + x).astype(x.dtype)
+                # keep the chain dependent with VALUES THAT EVOLVE —
+                # a fixed-point chain measured as ~0 ms/step through the
+                # async tunnel
+                return (jnp.tanh(y[:, :k]) * 0.5
+                        + xs * 0.75).astype(x.dtype)
 
             s = x
             for _ in range(3):
