@@ -577,13 +577,25 @@ class InferenceEngine:
             return  # offloaded prefill compiles per-piece lazily
         for b in buckets or (16, 64, 256):
             b = min(b, _bucket(self.max_context_len, hi=self.max_context_len))
-            if b > self.max_context_len:
+            if b > self.max_context_len or b > self.prefill_chunk:
                 continue
             tokens = jnp.zeros((1, b), jnp.int32)
             self._prefill_step(self.params, tokens,
                                self._gather_embeds(np.zeros((1, b),
                                                             np.int32)),
                                jnp.int32(1), bucket=b)
+        if self.max_context_len > self.prefill_chunk:
+            # chunked-prefill programs (one shape, two variants)
+            chunk = np.zeros((1, self.prefill_chunk), np.int32)
+            for need_logits in (False, True):
+                _, self.cache = self._chunk_step(
+                    self.params, self._place_rep(chunk), self.cache,
+                    self._gather_embeds(chunk), jnp.int32(0),
+                    jnp.int32(0), need_logits=need_logits)
+            # scrub slot 0 (warmup wrote garbage rows at position 0; real
+            # prefills overwrite, and length stays 0)
+            self.cache = self.cache.with_length(
+                self.cache.length.at[0].set(0))
 
     def has_work(self) -> bool:
         with self._lock:

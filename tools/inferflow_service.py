@@ -61,6 +61,11 @@ def main():
     else:
         sys.exit("need --config or --zoo")
 
+    if hasattr(eng, "warmup"):
+        # pre-compile the prefill buckets so the first prompt doesn't pay
+        # compile latency (PLAN: per-bucket compile-cache warmup)
+        print("# warming up prefill buckets...", file=sys.stderr)
+        eng.warmup()
     svc = InferFlowService(eng, port=port, prompt_template=template,
                            model_name=name)
     print(f"# serving {name} on http://0.0.0.0:{svc.port} "

@@ -96,8 +96,10 @@ def main():
                 np.asarray(ss[0, :2])
                 return time.time() - t0
 
-            t_lo, t_hi = chain(8), chain(32)
-            per = max((t_hi - t_lo) / 24, 1e-9)
+            # long chains: the tunnel carries ~±20 ms of noise per sample,
+            # so the two chain lengths must differ by >> that in compute
+            t_lo, t_hi = chain(32), chain(256)
+            per = max((t_hi - t_lo) / 224, 1e-9)
             line += f"  {packed / per / 1e9:7.1f} GB/s  ({per*1e3:.2f} ms)"
         print(line, flush=True)
 
