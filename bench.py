@@ -82,13 +82,15 @@ def main():
     quant = os.environ.get("INFERFLOW_BENCH_QUANT", "Q4_B64T1")
     ctx = int(os.environ.get("INFERFLOW_BENCH_CTX", "1024"))
     batch = int(os.environ.get("INFERFLOW_BENCH_BATCH", "1"))
+    layout = os.environ.get("INFERFLOW_BENCH_LAYOUT", "")
 
     bw_gbps = calibrate_bandwidth_gbps()
 
     spec = make_spec(model_name)
     hp = spec.hyper_params
     t0 = time.time()
-    params = make_synthetic_params(spec, weight_format=quant, stacked=True)
+    params = make_synthetic_params(spec, weight_format=quant, stacked=True,
+                                   device_layout=layout)
     build_s = time.time() - t0
 
     cache = KVCache.create(hp.decoder_layers, batch, ctx, hp.kv_heads,

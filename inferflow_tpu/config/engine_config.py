@@ -119,6 +119,9 @@ def load_engine_config(path: str, data_root_dir: str = "",
         val = cfg.get(msec, "device_weight_data_type", "", extra)
         if val:
             spec.device_weight_data_type = val
+        val = cfg.get(msec, "device_layout", "", extra)
+        if val:
+            spec.device_layout = val.lower()
         val = cfg.get(msec, "device_kv_cache_data_type", "", extra)
         if val:
             spec.device_kv_cache_data_type = val

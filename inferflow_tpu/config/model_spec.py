@@ -74,6 +74,8 @@ def parse_model_spec(data: dict, sid: str = "", base_dir: str = "",
     spec.is_attn_post_as_residual = bool(
         ns.get("is_attn_post_as_residual", True))
     spec.use_self_attn_pre_norm = bool(ns.get("use_self_attn_pre_norm", True))
+    spec.device_layout = str(ns.get("device_layout",
+                                    data.get("device_layout", ""))).lower()
     spec.tensor_name_prefix = ns.get("tensor_name_prefix", "")
     spec.tensor_name_map = dict(ns.get("tensor_name_mapping", {}))
     spec.tensor_name_pre_map = dict(ns.get("tensor_name_pre_mapping", {}))

@@ -38,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.formats import QuantFormat, get_format
 from ..quant.codec_jax import QuantizedTensor, dequantize
 
+import os
+# tile targets (tunable; see tools/kernel_bench.py sweeps)
+_TK_TARGET = int(os.environ.get("INFERFLOW_TK_TARGET", "2048"))
+_TN_TARGET = int(os.environ.get("INFERFLOW_TN_TARGET", "1024"))
+
 
 def _unpack_plane(tile, bits: int, layout: str, block: int, tk: int, tn: int):
     """Expand a packed (tk/p, tn) byte tile to (tk, tn) int32 values."""
@@ -337,9 +342,9 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
     tm = max(16, min(256, ((m + 15) // 16) * 16))
     pair8_layout = fmt.pair_base11 and "pair8" in plane_names
     # tk == k is always alignment-safe (every sub-slice is full-width)
-    tk = _pick_tile(k, 2048, _tk_unit(fmt, pair8_layout)) \
+    tk = _pick_tile(k, _TK_TARGET, _tk_unit(fmt, pair8_layout)) \
         or (k if k <= 8192 else None)
-    tn = _pick_tile(n, 1024, 128)
+    tn = _pick_tile(n, _TN_TARGET, 128)
     m_pad = ((m + tm - 1) // tm) * tm
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
@@ -473,9 +478,9 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
 
 def _tileable(fmt: QuantFormat, k: int, n: int,
               pair8: bool = False) -> bool:
-    tk = _pick_tile(k, 2048, _tk_unit(fmt, pair8)) \
+    tk = _pick_tile(k, _TK_TARGET, _tk_unit(fmt, pair8)) \
         or (k if k <= 8192 else None)
-    return tk is not None and _pick_tile(n, 1024, 128) is not None
+    return tk is not None and _pick_tile(n, _TN_TARGET, 128) is not None
 
 
 def storage_k(qt: QuantizedTensor) -> int:

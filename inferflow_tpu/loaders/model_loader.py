@@ -145,17 +145,22 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
             from ..quant.codec_native import quantize as _quantize
             from ..kernels.dequant_matmul import pad_weight_for_tpu
             arr_f32 = arr.astype(np.float16).astype(np.float32)
+            from ..quant.codec_jax import requantize_q8_container
+
+            def _layout(qt):
+                if spec.device_layout == "q8c":
+                    qt = requantize_q8_container(qt)
+                return pad_weight_for_tpu(qt)
+
             if spec.delta_tensor_ratio > 0:
                 # sparse outlier extraction before quantization
                 # (BuildDeltaTensor, device_tensor_builder.cu:482-540)
                 from ..quant.delta import extract_delta, QuantizedWithDelta
                 base, delta = extract_delta(arr_f32,
                                             spec.delta_tensor_ratio)
-                qt = pad_weight_for_tpu(
-                    QuantizedTensor.from_np(_quantize(base, et)))
+                qt = _layout(QuantizedTensor.from_np(_quantize(base, et)))
                 return QuantizedWithDelta(qt, delta)
-            return pad_weight_for_tpu(
-                QuantizedTensor.from_np(_quantize(arr_f32, et)))
+            return _layout(QuantizedTensor.from_np(_quantize(arr_f32, et)))
     # dense: norms/biases in fp32-accumulating bf16; embeddings bf16
     return jnp.asarray(arr.astype(np.float32), jnp.bfloat16)
 

@@ -136,6 +136,10 @@ class ModelSpec:
 
     be_host_embeddings: bool = True
     device_weight_data_type: str = "F16"
+    # device layout for sub-byte weight formats: "" keeps the wire packing;
+    # "q8c" re-encodes into the int8-container fast path at load
+    # (quant/codec_jax.requantize_q8_container)
+    device_layout: str = ""
     device_weight_data_types: Dict[str, str] = dataclasses.field(default_factory=dict)
     device_kv_cache_data_type: str = "Q8_B32T2"
     host_weight_data_type: str = "F16"

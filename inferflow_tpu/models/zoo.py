@@ -56,7 +56,7 @@ def make_spec(name: str, **overrides) -> ModelSpec:
     return spec
 
 
-def _maybe_quant(w, weight_format: Optional[str]):
+def _maybe_quant(w, weight_format: Optional[str], device_layout: str = ""):
     if weight_format in (None, "F16", "BF16", "F32"):
         return w.astype(jnp.bfloat16)
     from ..quant.formats import get_format
@@ -65,11 +65,16 @@ def _maybe_quant(w, weight_format: Optional[str]):
         # small/odd-tensor exemption, network_builder.cc:1648-1652)
         return w.astype(jnp.bfloat16)
     from ..kernels.dequant_matmul import pad_weight_for_tpu
-    return pad_weight_for_tpu(quantize(w, weight_format))
+    qt = quantize(w, weight_format)
+    if device_layout == "q8c":
+        from ..quant.codec_jax import requantize_q8_container
+        qt = requantize_q8_container(qt)
+    return pad_weight_for_tpu(qt)
 
 
 def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
-                          seed: int = 0, stacked: bool = True) -> dict:
+                          seed: int = 0, stacked: bool = True,
+                          device_layout: str = "") -> dict:
     """Random params, generated and quantized on device (layer-by-layer to
     bound host/HBM staging)."""
     hp = spec.hyper_params
@@ -101,7 +106,7 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
         raw = gen_layer(sub)
         layer = {
             "attn": {"pre_norm": jnp.ones((E,), jnp.bfloat16),
-                     **{k: _maybe_quant(raw[k], weight_format)
+                     **{k: _maybe_quant(raw[k], weight_format, device_layout)
                         for k in ("wq", "wk", "wv", "wo")}},
         }
         if hp.experts:
@@ -110,9 +115,12 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
             for e in range(hp.experts):
                 key, e1, e2, e3 = jax.random.split(key, 4)
                 experts.append({
-                    "w1": _maybe_quant(rand(e1, E, I), weight_format),
-                    "w2": _maybe_quant(rand(e2, I, E), weight_format),
-                    "w3": _maybe_quant(rand(e3, E, I), weight_format)})
+                    "w1": _maybe_quant(rand(e1, E, I), weight_format,
+                                       device_layout),
+                    "w2": _maybe_quant(rand(e2, I, E), weight_format,
+                                       device_layout),
+                    "w3": _maybe_quant(rand(e3, E, I), weight_format,
+                                       device_layout)})
             layer["moe"] = {
                 "pre_norm": jnp.ones((E,), jnp.bfloat16),
                 "gate": rand(gk, E, hp.experts).astype(jnp.bfloat16),
@@ -120,7 +128,8 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
             }
         else:
             layer["ffn"] = {"pre_norm": jnp.ones((E,), jnp.bfloat16),
-                            **{k: _maybe_quant(raw[k], weight_format)
+                            **{k: _maybe_quant(raw[k], weight_format,
+                                               device_layout)
                                for k in ("w1", "w2", "w3")}}
         layers.append(layer)
 
@@ -135,7 +144,7 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
     params = {
         "dec_embeddings": emb.astype(jnp.bfloat16),
         "dec_output_norm": jnp.ones((E,), jnp.bfloat16),
-        "lm_head": _maybe_quant(head, weight_format),
+        "lm_head": _maybe_quant(head, weight_format, device_layout),
         "layers": layers,
     }
     if stacked:

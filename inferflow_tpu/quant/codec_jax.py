@@ -251,6 +251,23 @@ def dequantize_q8_sym(codes: jax.Array, scale: jax.Array, block: int = 32,
     return out.reshape(shape).astype(dtype)
 
 
+def requantize_q8_container(qt: QuantizedTensor) -> QuantizedTensor:
+    """Re-encode a sub-byte-format tensor into the Q8_B32T2 device layout.
+
+    TPU device-layout trade (like pair8 for Q3H): the fused kernel's
+    sub-byte unpack is VPU-op-bound (~200-250 GB/s packed on v5e); the
+    single-plane signed-int8 path streams at ~515 GB/s.  Spending 8.5
+    bits/weight of HBM instead of 3-4.5 roughly halves decode time when
+    the model still fits.  Double-quantization error (Q8's ~0.4% on top of
+    the wire format's) is negligible next to the wire format's own error.
+    Enabled by ModelSpec.device_layout == 'q8c'.
+    """
+    if qt.format == "Q8_B32T2":
+        return qt
+    wd = dequantize(qt, jnp.float32)
+    return quantize(wd, "Q8_B32T2")
+
+
 def quantize(x: jax.Array, fmt_name: str) -> QuantizedTensor:
     """Quantize a (K, N) array on device (jit-able), any block format.
 
