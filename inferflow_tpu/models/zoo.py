@@ -76,7 +76,12 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
                           seed: int = 0, stacked: bool = True,
                           device_layout: str = "") -> dict:
     """Random params, generated and quantized on device (layer-by-layer to
-    bound host/HBM staging)."""
+    bound host/HBM staging).
+
+    For the stacked path, the layer-stacked buffers are PRE-ALLOCATED and
+    filled per layer with donated writes: stacking afterwards needs one
+    contiguous multi-GB allocation at the most fragmented moment, which
+    fails on 10GB-class models even with free HBM."""
     hp = spec.hyper_params
     E, I, V = hp.embd_dims, hp.decoder_intermediate_size, hp.vocab_size
     q_dim = hp.decoder_heads * hp.head_dim
@@ -97,11 +102,8 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
             "w3": rand(ks[6], E, I),
         }
 
-    def rand_host(key, k, n):
-        return rand(key, k, n)
-
-    layers = []
-    for i in range(hp.decoder_layers):
+    def build_layer(i):
+        nonlocal key
         key, sub = jax.random.split(key)
         raw = gen_layer(sub)
         layer = {
@@ -110,10 +112,10 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
                         for k in ("wq", "wk", "wv", "wo")}},
         }
         if hp.experts:
-            key, gk = jax.random.split(key)
+            key2, gk = jax.random.split(jax.random.fold_in(key, i))
             experts = []
             for e in range(hp.experts):
-                key, e1, e2, e3 = jax.random.split(key, 4)
+                key2, e1, e2, e3 = jax.random.split(key2, 4)
                 experts.append({
                     "w1": _maybe_quant(rand(e1, E, I), weight_format,
                                        device_layout),
@@ -131,15 +133,31 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
                             **{k: _maybe_quant(raw[k], weight_format,
                                                device_layout)
                                for k in ("w1", "w2", "w3")}}
-        layers.append(layer)
+        from .decoder import fuse_layer_weights
+        return fuse_layer_weights([layer])[0]
+
+    from .decoder import stack_layers
+
+    if not stacked:
+        layers = [build_layer(i) for i in range(hp.decoder_layers)]
+    else:
+        first = build_layer(0)
+        stacked_tree = _prealloc_stacked(first, hp.decoder_layers)
+        stacked_tree = _fill_layer(stacked_tree, first, 0)
+        del first
+        for i in range(1, hp.decoder_layers):
+            layer = build_layer(i)
+            stacked_tree = _fill_layer(stacked_tree, layer, i)
+            del layer
+        layers = stacked_tree
 
     key, k1, k2 = jax.random.split(key, 3)
     emb = jax.random.normal(k1, (V, E), dtype=jnp.float32) * 0.02
     head = rand(k2, E, V)
-    # fuse QKV and W1|W3 (one kernel launch instead of three / two)
-    from .decoder import fuse_layer_weights
-    layers = fuse_layer_weights(layers)
-    if all("qkv" in l["attn"] for l in layers):
+    sample = layers if not stacked else None
+    if (sample and all("qkv" in l["attn"] for l in sample)) or (
+            stacked and isinstance(layers, dict)
+            and "qkv" in layers.get("attn", {})):
         spec.qkv_format = 1
     params = {
         "dec_embeddings": emb.astype(jnp.bfloat16),
@@ -147,10 +165,90 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
         "lm_head": _maybe_quant(head, weight_format, device_layout),
         "layers": layers,
     }
-    if stacked:
-        from .decoder import stack_layers
-        params["layers"] = stack_layers(params["layers"], consume=True)
     return params
+
+
+def _prealloc_stacked(layer: dict, n_layers: int):
+    """Allocate a layer-stacked pytree of zeros shaped after one layer."""
+    from ..quant.delta import QuantizedWithDelta, DeltaTensor
+
+    def alloc(v):
+        if isinstance(v, dict):
+            return {k: alloc(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [alloc(x) for x in v]
+        if isinstance(v, QuantizedWithDelta):
+            return QuantizedWithDelta(
+                alloc(v.qt),
+                DeltaTensor(jnp.zeros((n_layers,) + v.delta.idx.shape,
+                                      v.delta.idx.dtype),
+                            jnp.zeros((n_layers,) + v.delta.val.shape,
+                                      v.delta.val.dtype)))
+        if isinstance(v, QuantizedTensor):
+            planes = {k: jnp.zeros((n_layers,) + p.shape, p.dtype)
+                      for k, p in v.planes.items()}
+            return QuantizedTensor(v.format,
+                                   (n_layers,) + tuple(v.shape), planes,
+                                   jnp.zeros((n_layers,) + v.scale.shape,
+                                             v.scale.dtype),
+                                   None if v.base is None else
+                                   jnp.zeros((n_layers,) + v.base.shape,
+                                             v.base.dtype))
+        if hasattr(v, "kind"):  # GlobalQuantTensor
+            from ..quant.codec_jax import GlobalQuantTensor
+            return GlobalQuantTensor(
+                v.kind, (n_layers,) + tuple(v.shape),
+                jnp.zeros((n_layers,) + v.codes.shape, v.codes.dtype),
+                jnp.zeros((n_layers,) + v.params.shape, v.params.dtype))
+        arr = jnp.asarray(v)
+        return jnp.zeros((n_layers,) + arr.shape, arr.dtype)
+
+    return alloc(layer)
+
+
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_leaf(stacked_arr, leaf_arr, i):
+    return jax.lax.dynamic_update_slice(
+        stacked_arr, leaf_arr[None].astype(stacked_arr.dtype),
+        (i,) + (0,) * leaf_arr.ndim)
+
+
+def _fill_layer(stacked_tree, layer: dict, i: int):
+    """Write one layer's leaves into the stacked pytree (donated writes)."""
+    from ..quant.delta import QuantizedWithDelta, DeltaTensor
+
+    def fill(sv, lv):
+        if isinstance(sv, dict):
+            return {k: fill(sv[k], lv[k]) for k in sv}
+        if isinstance(sv, list):
+            return [fill(a, b) for a, b in zip(sv, lv)]
+        if isinstance(sv, QuantizedWithDelta):
+            return QuantizedWithDelta(
+                fill(sv.qt, lv.qt),
+                DeltaTensor(_set_leaf(sv.delta.idx, lv.delta.idx,
+                                      jnp.int32(i)),
+                            _set_leaf(sv.delta.val, lv.delta.val,
+                                      jnp.int32(i))))
+        if isinstance(sv, QuantizedTensor):
+            planes = {k: _set_leaf(sv.planes[k], lv.planes[k],
+                                   jnp.int32(i)) for k in sv.planes}
+            scale = _set_leaf(sv.scale, lv.scale, jnp.int32(i))
+            base = (None if sv.base is None
+                    else _set_leaf(sv.base, lv.base, jnp.int32(i)))
+            return QuantizedTensor(sv.format, sv.shape, planes, scale,
+                                   base)
+        if hasattr(sv, "kind"):
+            from ..quant.codec_jax import GlobalQuantTensor
+            return GlobalQuantTensor(
+                sv.kind, sv.shape,
+                _set_leaf(sv.codes, lv.codes, jnp.int32(i)),
+                _set_leaf(sv.params, lv.params, jnp.int32(i)))
+        return _set_leaf(sv, jnp.asarray(lv), jnp.int32(i))
+
+    return fill(stacked_tree, layer)
 
 
 def model_weight_bytes(params: dict) -> int:
