@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--skip-perf", action="store_true")
     ap.add_argument("--attention", action="store_true",
                     help="also check the fused attention kernels")
+    ap.add_argument("--inner-chain", action="store_true",
+                    help="measure IN-JIT per-call cost: slope between 4 "
+                    "and 16 kernel invocations inside one jit (requires "
+                    "square K==N)")
     ap.add_argument("--tol", type=float, default=2e-2,
                     help="norm_rmsd bound vs the XLA dequant reference")
     args = ap.parse_args()
@@ -71,6 +75,37 @@ def main():
         failures += 0 if ok else 1
 
         line = f"{fmt:11s} parity norm_rmsd={err:.5f} {'OK' if ok else 'FAIL'}"
+        if args.inner_chain and not args.skip_perf:
+            assert k == n, "--inner-chain needs square K==N"
+
+            def make_rep(r):
+                @jax.jit
+                def rep(xs):
+                    for _ in range(r):
+                        y = quantized_matmul(xs, qt)
+                        xs = (jnp.tanh(y) * 0.5 + xs * 0.75).astype(
+                            x.dtype)
+                    return xs
+                return rep
+
+            f4, f16 = make_rep(4), make_rep(16)
+            def run(f, outer):
+                ss = x
+                t0 = time.time()
+                for _ in range(outer):
+                    ss = f(ss)
+                np.asarray(ss[0, :2])
+                return time.time() - t0
+            run(f4, 2); run(f16, 2)
+            # min over samples: the shared chip's timesharing noise makes
+            # single slopes swing 3x
+            per = min(max((run(f16, 8) - run(f4, 8)) / (8 * 12), 1e-9)
+                      for _ in range(3))
+            packed = qt.nbytes
+            line += (f"  in-jit {packed / per / 1e9:7.1f} GB/s "
+                     f"({per*1e3:.3f} ms/call)")
+            print(line, flush=True)
+            continue
         if not args.skip_perf:
             packed = qt.nbytes
 
