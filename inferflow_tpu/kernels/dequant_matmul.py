@@ -42,6 +42,9 @@ import os
 # tile targets (tunable; see tools/kernel_bench.py sweeps)
 _TK_TARGET = int(os.environ.get("INFERFLOW_TK_TARGET", "2048"))
 _TN_TARGET = int(os.environ.get("INFERFLOW_TN_TARGET", "1024"))
+# scale-multiply precision in the fast kernel: bf16 (fewer VPU ops) vs the
+# f32 round-trip (A/B knob)
+_BF16_SCALE = os.environ.get("INFERFLOW_KERNEL_BF16SCALE", "1") == "1"
 
 
 def _unpack_plane(tile, bits: int, layout: str, block: int, tk: int, tn: int):
@@ -188,13 +191,15 @@ def _make_fast_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int,
             mult = float(1 << shift)
             if reps not in sc_cache:
                 sc_cache[reps] = jnp.repeat(sc_small, reps, axis=0)
-            sc = (sc_cache[reps] * mult if shift
-                  else sc_cache[reps]).astype(jnp.bfloat16)
+            sc = sc_cache[reps] * mult if shift else sc_cache[reps]
+            if _BF16_SCALE:
+                sc = sc.astype(jnp.bfloat16)
             # base folded into the FIRST plane's subs (they partition k)
             bs = None
             if has_base and pi == 0:
-                bs = jnp.repeat(bs_small, reps,
-                                axis=0).astype(jnp.bfloat16)
+                bs = jnp.repeat(bs_small, reps, axis=0)
+                if _BF16_SCALE:
+                    bs = bs.astype(jnp.bfloat16)
             v = plane_refs[pi][:].astype(jnp.int32)
             if spec.layout == "split_half":
                 sub_vals = [v & 0x0F, v >> 4]
@@ -209,8 +214,13 @@ def _make_fast_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int,
                                   else v & mask)
                             for s in range(p)]
             for q in sub_vals:
-                qb = q.astype(jnp.bfloat16)
-                w = qb * sc + bs if bs is not None else qb * sc
+                if _BF16_SCALE:
+                    qb = q.astype(jnp.bfloat16)
+                    w = qb * sc + bs if bs is not None else qb * sc
+                else:
+                    qf = q.astype(jnp.float32)
+                    w = (qf * sc + bs if bs is not None
+                         else qf * sc).astype(jnp.bfloat16)
                 acc_ref[:] += jnp.dot(x_refs[xi][:], w,
                                       preferred_element_type=jnp.float32)
                 xi += 1

@@ -84,6 +84,27 @@ def test_mesh_from_groups_single_is_none():
         mesh_from_groups([[0, 1], [2]])
 
 
+@needs4
+def test_mesh_chunked_prefill():
+    """A long prompt prefills in chunks against the SHARDED cache."""
+    spec, params = _tiny()
+    mesh = make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2)
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          max_context_len=256, use_pallas=False, mesh=mesh)
+    eng.prefill_chunk = 16
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(1, 120, size=50)]
+    out = eng.generate(prompt, SamplingOptions(strategy="greedy"),
+                       max_new_tokens=4)
+    assert len(out) == 4
+
+    ref = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          max_context_len=256, use_pallas=False)
+    ref.prefill_chunk = 16
+    assert out == ref.generate(prompt, SamplingOptions(strategy="greedy"),
+                               max_new_tokens=4)
+
+
 def test_multihost_factors():
     from inferflow_tpu.parallel.mesh import (multihost_factors,
                                              make_multihost_mesh)
