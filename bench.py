@@ -45,12 +45,17 @@ def _timed_chain(fn, state, iters):
     return time.time() - t0
 
 
-def slope_time(fn, state, lo=16, hi=64):
-    """Per-iteration seconds, with fixed dispatch/sync overhead removed."""
+def slope_time(fn, state, lo=16, hi=64, samples=3):
+    """Per-iteration seconds, with fixed dispatch/sync overhead removed.
+    Min over several slope samples: the shared chip's timesharing makes a
+    single slope swing ~2-3x."""
     _timed_chain(fn, state, 2)  # warm
-    t_lo = _timed_chain(fn, state, lo)
-    t_hi = _timed_chain(fn, state, hi)
-    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+    best = float("inf")
+    for _ in range(samples):
+        t_lo = _timed_chain(fn, state, lo)
+        t_hi = _timed_chain(fn, state, hi)
+        best = min(best, max((t_hi - t_lo) / (hi - lo), 1e-9))
+    return best
 
 
 def calibrate_bandwidth_gbps() -> float:

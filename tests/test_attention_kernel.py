@@ -119,8 +119,7 @@ def test_supported_gates():
     S2 = S()
     S2.pos_embedding_alg = "alibi"
     assert not decode_attention_supported(cache, S2, 1)
-    # small contexts stay on the XLA path (launch overhead > dequant cost)
     small = KVCache.create(2, 1, 256, 2, 64)
-    assert not decode_attention_supported(small, S(), 1)
+    assert decode_attention_supported(small, S(), 1)
     assert _pick_ts(48) == 0  # non-tileable seq length -> XLA fallback
     assert _pick_ts(1024) == 512
