@@ -563,14 +563,15 @@ def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
     kernel (kernels/attention.py): the full stacked cache goes straight to
     the kernel with the layer index, so no per-layer cache slice is ever
     copied in HBM."""
-    n_layers = _stacked_layer_count(stacked)
+    is_list = isinstance(stacked, list)
+    n_layers = len(stacked) if is_list else _stacked_layer_count(stacked)
     fused = False
     if cache is not None and use_pallas and x.shape[1] == 1 \
             and jax.default_backend() == "tpu":
         from ..kernels.attention import decode_attention_supported
         fused = decode_attention_supported(cache, spec, x.shape[1])
     for i in range(n_layers):
-        lp = _index_layer(stacked, i)
+        lp = stacked[i] if is_list else _index_layer(stacked, i)
         if cache is None:
             lc = None
         elif fused:
@@ -603,9 +604,10 @@ def decoder_layers_chunk(spec: ModelSpec, stacked, x, positions, cache,
 
     fused = (use_pallas and jax.default_backend() == "tpu"
              and decode_attention_supported(cache, spec, 1))
-    n_layers = _stacked_layer_count(stacked)
+    is_list = isinstance(stacked, list)
+    n_layers = len(stacked) if is_list else _stacked_layer_count(stacked)
     for i in range(n_layers):
-        lp = _index_layer(stacked, i)
+        lp = stacked[i] if is_list else _index_layer(stacked, i)
         lc = {"cache": cache, "layer": i, "slot": slot,
               "chunk_start": start, "fused": fused}
         x, lc = decoder_layer(spec, lp, x, positions, lc,
@@ -642,7 +644,13 @@ def decoder_layers_scan(spec: ModelSpec, stacked, x, positions,
 
     Also the entry point for partial-stack execution: host-KV-offload runs
     the leading layers outside and scans only the on-device suffix
-    (runtime/host_offload.py).  Does NOT advance cache.length."""
+    (runtime/host_offload.py).  Does NOT advance cache.length.
+
+    Heterogeneous layer LISTS (e.g. DeepSeek-MoE's dense first layer
+    cannot stack) fall back to the unrolled loop."""
+    if isinstance(stacked, list):
+        return decoder_layers_unrolled(spec, stacked, x, positions, cache,
+                                       use_pallas=use_pallas)
     if cache is None:
         def body(h, lp):
             h, _ = decoder_layer(spec, lp, h, positions, None,

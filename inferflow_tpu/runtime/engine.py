@@ -111,7 +111,12 @@ class InferenceEngine:
             if had_separate and all("qkv" in l["attn"] for l in layers):
                 spec = dataclasses.replace(spec, qkv_format=1)
                 self.spec = spec
-            self.params = dict(params, layers=stack_layers(layers))
+            try:
+                layers = stack_layers(layers)
+            except ValueError:
+                pass  # heterogeneous (e.g. MoE with a dense first layer):
+                      # the layer loops accept plain lists
+            self.params = dict(params, layers=layers)
         self.tokenizer = tokenizer
         self.vocab = vocab
         self.max_slots = max_concurrent_queries

@@ -348,6 +348,14 @@ def test_zoo_spec_loads_and_runs(name, tmp_path):
     if kind == "decoder":
         logits, _ = decoder_forward(spec, params, tokens, pos, None)
         assert logits.shape == (1, 4, V)
+        # through the serving engine facade (slot cache + sampling)
+        from inferflow_tpu.runtime.engine import InferenceEngine
+        from inferflow_tpu.sampling.strategies import SamplingOptions
+        eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                              max_context_len=64, use_pallas=False)
+        out = eng.generate([3, 5, 9], SamplingOptions(strategy="greedy"),
+                           max_new_tokens=3)
+        assert len(out) == 3 and all(0 <= t < V for t in out)
     elif kind == "encoder":
         hidden = encoder_forward(spec, params, tokens, pos)
         logits = mlm_logits(spec, params, hidden)
