@@ -53,6 +53,7 @@ class EngineConfig:
     device_groups: List[List[int]] = dataclasses.field(default_factory=list)
     multi_device_strategy: str = "by_layer"
     decoder_cpu_layer_count: int = 0
+    sequence_parallel: int = 0  # >1: ring-attention prefill over 'sp'
     encoder_cpu_layer_count: int = 0
     cpu_threads: int = 8
     return_output_tensors: bool = False
@@ -94,6 +95,7 @@ def load_engine_config(path: str, data_root_dir: str = "",
     ec.show_tensors = cfg.get_bool(section, "show_tensors", False)
     ec.enable_perf_stat = cfg.get_bool(section, "enable_perf_stat", False)
 
+    ec.sequence_parallel = cfg.get_int(section, "sequence_parallel", 0)
     ec.device_groups = parse_device_groups(cfg.get(section, "devices", "0"))
     ec.multi_device_strategy = strategy_from_groups(ec.device_groups)
 

@@ -1,0 +1,717 @@
+"""Whole-model fused decode step: ONE Pallas kernel for all layers.
+
+The round-2 measurement showed the batch-1 decode step spending ~4.7 ms of
+its 5.6 ms OUTSIDE the useful weight streaming: ~5 pallas calls x L layers,
+each paying pipeline ramp + launch overhead, with per-layer matmul shapes
+sustaining only 40-90% of the kernel's big-shape rate.  This kernel removes
+the boundaries wholesale (VERDICT r2 items 1-2): the grid is (L,) over
+layers, the residual stream lives in VMEM scratch across grid steps, every
+weight matmul is a double-buffered manual DMA loop from HBM, and attention
+(including the current token's self-term) runs in-kernel against the packed
+Q8 KV cache.  One custom call per decode step; the only XLA work left
+outside is the embedding gather, the new-KV-row append, and the lm_head.
+
+Per layer (reference: the ProcessGpuLayer loop, inference_worker.cc:762-981
+— redesigned, not translated):
+
+  rmsnorm -> qkv (streamed dequant-matmul) -> rope (pair-rotation via a
+  small MXU matmul) -> self-row Q8 quantize (codec-exact) -> per-slot
+  online-softmax attention over the cache (DMA'd (H, TS, D*pf) tiles,
+  dequant-on-read) -> wo (streamed, fused residual add) -> rmsnorm ->
+  w1n3 (streamed) -> GLU activation -> w2 (streamed, fused residual add)
+
+Weight streaming reuses the sub-plane-dot trick of kernels/dequant_matmul.py
+(each packed byte's sub-values dot against k-strided activation slices;
+scale premultiplied per plane shift) — see that module for the math.
+
+Supported (v1): decoder-only llama-family blocks — RMS pre-norms, RoPE
+(both column orders, full rotary), GQA, fused qkv/w1n3, no biases,
+single-'data'-plane quant formats (Q8_B32T1/T2, Q4_B64T1/B32T1A, Q2),
+Q8-quantized packed KV cache, batch <= 4.  Everything else falls back to
+the per-layer path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.formats import get_format
+from ..quant.codec_jax import QuantizedTensor
+from .dequant_matmul import _decode_f16_bits
+from .attention import _pick_ts
+
+NEG_INF = -1e30
+_VMEM_WBUF_BUDGET = 2 * 1024 * 1024  # per weight double-buffer pair
+
+
+@dataclasses.dataclass(frozen=True)
+class _MM:
+    """One streamed matmul's static config."""
+
+    name: str
+    k_s: int      # stored K (padded)
+    kp: int       # packed plane rows = k_s / pk
+    n: int
+    tn: int
+    pk: int       # values per byte
+    bits: int
+    signed: bool
+    blk: int      # quant block (K values per scale row)
+    has_base: bool
+
+
+def _pick_tn(kp: int, n: int) -> int:
+    for tn in (512, 256, 128):
+        if n % tn == 0 and 2 * kp * tn <= _VMEM_WBUF_BUDGET:
+            return tn
+    return 0
+
+
+def _mm_cfg(name: str, qt: QuantizedTensor) -> Optional[_MM]:
+    fmt = get_format(qt.format)
+    if (len(fmt.planes) != 1 or fmt.planes[0].layout != "consecutive"
+            or fmt.pair_base11 or fmt.meta != "f16"):
+        return None
+    bits = fmt.planes[0].bits
+    pk = 8 // bits
+    plane = qt.planes.get("data")
+    if plane is None:
+        return None
+    kp, n = int(plane.shape[-2]), int(plane.shape[-1])
+    k_s = kp * pk
+    if k_s % fmt.block or k_s % (pk * 8):
+        return None
+    tn = _pick_tn(kp, n)
+    if tn == 0:
+        return None
+    return _MM(name, k_s, kp, n, tn, pk, bits, fmt.signed, fmt.block,
+               fmt.base_kind != "zero")
+
+
+def _rot_matrix(d: int, order: int):
+    """Rotation helper R with rope(x) = x*cosI + (x @ R)*sinI.
+
+    order=1 (interleaved pairs): R[2m+1, 2m] = -1, R[2m, 2m+1] = 1.
+    order=2 (half-split):        R[m+d/2, m] = -1, R[m, m+d/2] = 1.
+    Built from iota comparisons (a (D, D) constant; the matmul is a
+    trivially small MXU op, avoiding strided lane shuffles on the VPU).
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    if order == 1:
+        plus = jnp.logical_and(row % 2 == 0, col == row + 1)
+        minus = jnp.logical_and(row % 2 == 1, col == row - 1)
+    else:
+        half = d // 2
+        plus = jnp.logical_and(row < half, col == row + half)
+        minus = jnp.logical_and(row >= half, col == row - half)
+    return (plus.astype(jnp.float32) - minus.astype(jnp.float32))
+
+
+def _expand_cos_sin(positions, d: int, order: int, base: float):
+    """Per-slot interleaved/half-split cos & sin vectors (B, D) such that
+    rope(x) = x * cos + rot(x) * sin elementwise (matches ops/rope.py)."""
+    pos = positions.astype(jnp.float32).reshape(-1)  # (B,)
+    half = d // 2
+    freq = jnp.arange(half, dtype=jnp.float32)
+    inv = base ** (-2.0 * freq / d)
+    theta = pos[:, None] * inv[None, :]  # (B, half)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    if order == 1:
+        cos = jnp.repeat(c, 2, axis=-1)
+        sin = jnp.repeat(s, 2, axis=-1)
+    else:
+        cos = jnp.concatenate([c, c], axis=-1)
+        sin = jnp.concatenate([s, s], axis=-1)
+    return cos, sin
+
+
+def _rmsnorm(x, w, eps: float):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+
+
+def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
+                 kv_blk, ts, f_dim, w2_ks, eps, scale, act, order,
+                 bf16_residual=True):
+    """cfgs: dict name -> _MM for qkv/wo/w1n3/w2."""
+    g = hq // hk
+    qdim = hq * d
+    kvdim = hk * d
+    n_sub = d // kv_blk  # KV scale sub-blocks per head row
+    mm_names = ("qkv", "wo", "w1n3", "w2")
+
+    def kernel(*refs):
+        idx = 0
+        meta_ref = refs[idx]; idx += 1          # (B,) lengths
+        x0_ref = refs[idx]; idx += 1
+        anorm_ref = refs[idx]; idx += 1
+        fnorm_ref = refs[idx]; idx += 1
+        cos_ref = refs[idx]; idx += 1
+        sin_ref = refs[idx]; idx += 1
+        w_refs = {}
+        for nm in mm_names:
+            cfg = cfgs[nm]
+            plane = refs[idx]; idx += 1
+            sc = refs[idx]; idx += 1
+            bs = None
+            if cfg.has_base:
+                bs = refs[idx]; idx += 1
+            w_refs[nm] = (plane, sc, bs)
+        k_hbm = refs[idx]; idx += 1
+        v_hbm = refs[idx]; idx += 1
+        ks_hbm = refs[idx]; idx += 1
+        vs_hbm = refs[idx]; idx += 1
+        # outputs
+        xout_ref = refs[idx]; idx += 1
+        knew_ref = refs[idx]; idx += 1
+        vnew_ref = refs[idx]; idx += 1
+        # scratch
+        xres = refs[idx]; idx += 1              # (B, E) bf16
+        xn = refs[idx]; idx += 1                # (B, E) bf16
+        qkv_acc = refs[idx]; idx += 1           # (B, Nqkv) f32
+        attn_ctx = refs[idx]; idx += 1          # (B, qdim) bf16
+        h2 = refs[idx]; idx += 1                # (B, 2F) f32
+        hglu = refs[idx]; idx += 1              # (B, w2_ks) bf16
+        wbufs = {}
+        for nm in mm_names:
+            cfg = cfgs[nm]
+            wb = refs[idx]; idx += 1
+            sb = refs[idx]; idx += 1
+            bb = None
+            if cfg.has_base:
+                bb = refs[idx]; idx += 1
+            wbufs[nm] = (wb, sb, bb)
+        kbuf = refs[idx]; idx += 1              # (2, H, TS, D*pf) int8
+        vbuf = refs[idx]; idx += 1
+        ksbuf = refs[idx]; idx += 1             # (2, H, pf*C, TS) u16
+        vsbuf = refs[idx]; idx += 1
+        acc_at = refs[idx]; idx += 1            # (Hq, D) f32
+        wsems = refs[idx]; idx += 1             # DMA (4, 2, 3)
+        kvsems = refs[idx]; idx += 1            # DMA (4, 2)
+
+        l = pl.program_id(0)
+
+        @pl.when(l == 0)
+        def _():
+            xres[:] = x0_ref[:]
+            hglu[:] = jnp.zeros_like(hglu)  # K-pad tail must stay zero
+
+        # ---- streamed dequant-matmul ---------------------------------
+        def stream_mm(nm, x_subs, consume):
+            """x_subs: list of pk (B, K/pk) bf16 activations; consume(j, acc)
+            applies the (B, TN) f32 tile j."""
+            cfg = cfgs[nm]
+            plane_ref, sc_ref, bs_ref = w_refs[nm]
+            wb, sb, bb = wbufs[nm]
+            mi = mm_names.index(nm)
+            ntiles = cfg.n // cfg.tn
+            reps = cfg.blk // cfg.pk
+
+            def dma(j, slot):
+                off = pl.multiple_of(j * cfg.tn, cfg.tn)
+                cps = [pltpu.make_async_copy(
+                    plane_ref.at[l, :, pl.ds(off, cfg.tn)],
+                    wb.at[slot], wsems.at[mi, slot, 0]),
+                    pltpu.make_async_copy(
+                    sc_ref.at[l, :, pl.ds(off, cfg.tn)],
+                    sb.at[slot], wsems.at[mi, slot, 1])]
+                if cfg.has_base:
+                    cps.append(pltpu.make_async_copy(
+                        bs_ref.at[l, :, pl.ds(off, cfg.tn)],
+                        bb.at[slot], wsems.at[mi, slot, 2]))
+                return cps
+
+            for cp in dma(0, 0):
+                cp.start()
+
+            for j in range(ntiles):
+                slot = j % 2
+                if j + 1 < ntiles:
+                    for cp in dma(j + 1, (j + 1) % 2):
+                        cp.start()
+                for cp in dma(j, slot):
+                    cp.wait()
+                sc_small = _decode_f16_bits(sb[slot])  # (K/blk, TN) f32
+                sc0 = jnp.repeat(sc_small, reps, axis=0)  # (Kp, TN)
+                bs0 = None
+                if cfg.has_base:
+                    bs0 = jnp.repeat(_decode_f16_bits(bb[slot]), reps,
+                                     axis=0).astype(jnp.bfloat16)
+                v = wb[slot].astype(jnp.int32)
+                acc = None
+                for s in range(cfg.pk):
+                    if cfg.pk == 1:
+                        q = v if not cfg.signed else v  # already int8
+                    elif cfg.signed:
+                        q = ((v << (32 - cfg.bits * (s + 1)))
+                             >> (32 - cfg.bits))
+                    else:
+                        mask = (1 << cfg.bits) - 1
+                        if s == 0:
+                            q = v & mask
+                        elif s == cfg.pk - 1:
+                            q = v >> (cfg.bits * s)
+                        else:
+                            q = (v >> (cfg.bits * s)) & mask
+                    mult = float(1 << (cfg.bits * s))
+                    sc = (sc0 * mult if s else sc0).astype(jnp.bfloat16)
+                    qb = q.astype(jnp.bfloat16)
+                    w = qb * sc + bs0 if (bs0 is not None and s == 0) \
+                        else qb * sc
+                    part = jnp.dot(x_subs[s], w,
+                                   preferred_element_type=jnp.float32)
+                    acc = part if acc is None else acc + part
+                consume(j, acc)
+
+        def subslices(src, cfg):
+            xv = src[:]
+            if cfg.pk == 1:
+                return [xv]
+            return [xv[:, s::cfg.pk] for s in range(cfg.pk)]
+
+        # ---- phase 1: attn norm + qkv --------------------------------
+        xn[:] = _rmsnorm(xres[:], anorm_ref[0], eps)
+
+        def into_qkv(j, acc):
+            cfg = cfgs["qkv"]
+            qkv_acc[:, pl.ds(pl.multiple_of(j * cfg.tn, cfg.tn),
+                             cfg.tn)] = acc
+        stream_mm("qkv", subslices(xn, cfgs["qkv"]), into_qkv)
+
+        # ---- phase 2+3: rope, self-quant, attention ------------------
+        rot = _rot_matrix(d, order)
+        for b in range(bsz):
+            length = meta_ref[b]
+            cos_b = cos_ref[b:b + 1, :].astype(jnp.float32)  # (1, D)
+            sin_b = sin_ref[b:b + 1, :].astype(jnp.float32)
+            qb = qkv_acc[b:b + 1, :qdim].reshape(hq, d)
+            kb = qkv_acc[b:b + 1, qdim:qdim + kvdim].reshape(hk, d)
+            vb = qkv_acc[b:b + 1, qdim + kvdim:].reshape(hk, d)
+            q_rot = qb * cos_b + jnp.dot(
+                qb, rot, preferred_element_type=jnp.float32) * sin_b
+            k_rot = kb * cos_b + jnp.dot(
+                kb, rot, preferred_element_type=jnp.float32) * sin_b
+            knew_ref[0, b, :] = k_rot.reshape(1, kvdim)
+            vnew_ref[0, b, :] = vb.reshape(1, kvdim)
+
+            # codec-exact self-row quantize->dequantize (codec_jax
+            # quantize_q8_sym): the cache row the NEXT step will read is
+            # quantized, so the self term must see the same values
+            def qdq(rows):
+                r3 = rows.reshape(hk, d // kv_blk, kv_blk)
+                m0 = jnp.max(jnp.abs(r3), axis=-1, keepdims=True)
+                sc = m0 / 127.0
+                inv = jnp.where(sc >= 1e-5,
+                                1.0 / jnp.where(sc == 0, 1.0, sc), 0.0)
+                qq = jnp.clip(jnp.round(r3 * inv), -128, 127)
+                return (qq * sc).reshape(hk, d)
+            k_self = qdq(k_rot)
+            v_self = qdq(vb)
+
+            nb = pl.cdiv(length, ts * pf)
+
+            def dma_kv(j, slot):
+                s0 = pl.multiple_of(j * ts, ts)
+                return [pltpu.make_async_copy(
+                    k_hbm.at[l, b, :, pl.ds(s0, ts), :],
+                    kbuf.at[slot], kvsems.at[0, slot]),
+                    pltpu.make_async_copy(
+                    v_hbm.at[l, b, :, pl.ds(s0, ts), :],
+                    vbuf.at[slot], kvsems.at[1, slot]),
+                    pltpu.make_async_copy(
+                    ks_hbm.at[l, b, :, :, pl.ds(s0, ts)],
+                    ksbuf.at[slot], kvsems.at[2, slot]),
+                    pltpu.make_async_copy(
+                    vs_hbm.at[l, b, :, :, pl.ds(s0, ts)],
+                    vsbuf.at[slot], kvsems.at[3, slot])]
+
+            @pl.when(nb > 0)
+            def _():
+                for cp in dma_kv(0, 0):
+                    cp.start()
+
+            acc_at[:] = jnp.zeros_like(acc_at)
+
+            def body(j, carry):
+                m_run, l_run = carry
+                slot = jax.lax.rem(j, 2)
+
+                @pl.when(j + 1 < nb)
+                def _():
+                    for cp in dma_kv(j + 1, jax.lax.rem(j + 1, 2)):
+                        cp.start()
+                for cp in dma_kv(j, slot):
+                    cp.wait()
+
+                ks_all = _decode_f16_bits(ksbuf[slot])  # (H, pf*C, TS)
+                vs_all = _decode_f16_bits(vsbuf[slot])
+                for par in range(pf):
+                    off = par * d
+                    pos = (j * ts + jax.lax.broadcasted_iota(
+                        jnp.int32, (g, ts), 1)) * pf + par
+                    for h in range(hk):
+                        kf = kbuf[slot][h, :, off:off + d].astype(
+                            jnp.float32)  # (TS, D)
+                        vf = vbuf[slot][h, :, off:off + d].astype(
+                            jnp.float32)
+                        qh = q_rot[h * g:(h + 1) * g, :]  # (g, D)
+                        scores = jnp.zeros((g, ts), jnp.float32)
+                        for c in range(n_sub):
+                            part = jax.lax.dot_general(
+                                qh[:, c * kv_blk:(c + 1) * kv_blk],
+                                kf[:, c * kv_blk:(c + 1) * kv_blk],
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            row = par * n_sub + c
+                            scores = scores + part * ks_all[h, row:row + 1, :]
+                        scores = scores * scale
+                        scores = jnp.where(pos < length, scores, NEG_INF)
+
+                        m_h = m_run[h * g:(h + 1) * g, :]
+                        l_h = l_run[h * g:(h + 1) * g, :]
+                        m_new = jnp.maximum(m_h, jnp.max(scores, axis=-1,
+                                                         keepdims=True))
+                        alpha = jnp.exp(m_h - m_new)
+                        p = jnp.exp(scores - m_new)
+                        l_new = alpha * l_h + jnp.sum(p, axis=-1,
+                                                      keepdims=True)
+                        for c in range(n_sub):
+                            row = par * n_sub + c
+                            pc = p * vs_all[h, row:row + 1, :]
+                            sl = slice(c * kv_blk, (c + 1) * kv_blk)
+                            acc_at[h * g:(h + 1) * g, sl] = (
+                                alpha * acc_at[h * g:(h + 1) * g, sl]
+                                + jnp.dot(pc, vf[:, sl],
+                                          preferred_element_type=jnp.float32))
+                        m_run = m_run.at[h * g:(h + 1) * g, :].set(m_new)
+                        l_run = l_run.at[h * g:(h + 1) * g, :].set(l_new)
+                return m_run, l_run
+
+            m0 = jnp.full((hq, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((hq, 1), jnp.float32)
+            m_fin, l_fin = jax.lax.fori_loop(0, nb, body, (m0, l0))
+
+            # self term: the current token's own (quantized) K/V row
+            ctx_rows = []
+            for h in range(hk):
+                qh = q_rot[h * g:(h + 1) * g, :]
+                s_self = jnp.sum(qh * k_self[h:h + 1, :], axis=-1,
+                                 keepdims=True) * scale  # (g, 1)
+                m_h = m_fin[h * g:(h + 1) * g, :]
+                l_h = l_fin[h * g:(h + 1) * g, :]
+                m_new = jnp.maximum(m_h, s_self)
+                alpha = jnp.exp(m_h - m_new)
+                p_self = jnp.exp(s_self - m_new)
+                l_new = alpha * l_h + p_self
+                ctx_h = (alpha * acc_at[h * g:(h + 1) * g, :]
+                         + p_self * v_self[h:h + 1, :].astype(jnp.float32))
+                ctx_rows.append(ctx_h / jnp.maximum(l_new, 1e-30))
+            ctx = jnp.concatenate(ctx_rows, axis=0)  # (Hq, D)
+            attn_ctx[b:b + 1, :] = ctx.astype(jnp.bfloat16).reshape(
+                1, qdim)
+
+        # ---- phase 4: wo + residual ----------------------------------
+        def into_res(j, acc, cfg):
+            off = pl.multiple_of(j * cfg.tn, cfg.tn)
+            xres[:, pl.ds(off, cfg.tn)] = (
+                xres[:, pl.ds(off, cfg.tn)]
+                + acc.astype(jnp.bfloat16))
+        stream_mm("wo", subslices(attn_ctx, cfgs["wo"]),
+                  lambda j, acc: into_res(j, acc, cfgs["wo"]))
+
+        # ---- phase 5+6: ffn norm + w1n3 ------------------------------
+        xn[:] = _rmsnorm(xres[:], fnorm_ref[0], eps)
+
+        def into_h2(j, acc):
+            cfg = cfgs["w1n3"]
+            h2[:, pl.ds(pl.multiple_of(j * cfg.tn, cfg.tn), cfg.tn)] = acc
+        stream_mm("w1n3", subslices(xn, cfgs["w1n3"]), into_h2)
+
+        # ---- phase 7: GLU activation ---------------------------------
+        a = h2[:, :f_dim]
+        gt = h2[:, f_dim:]
+        if act == "silu":
+            av = a * jax.lax.logistic(a)
+        elif act == "gelu":
+            av = jax.nn.gelu(a)
+        else:  # relu
+            av = jnp.maximum(a, 0.0)
+        hglu[:, :f_dim] = (av * gt).astype(jnp.bfloat16)
+
+        # ---- phase 8: w2 + residual ----------------------------------
+        stream_mm("w2", subslices(hglu, cfgs["w2"]),
+                  lambda j, acc: into_res(j, acc, cfgs["w2"]))
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            xout_ref[:] = xres[:]
+
+    return kernel
+
+
+def _u16(a):
+    if a.dtype == jnp.float16:
+        return jax.lax.bitcast_convert_type(a, jnp.uint16)
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_layers", "hq", "hk", "d", "eps", "scale", "act", "order",
+    "f_dim", "interpret"))
+def _fused_call(meta, x0, anorm, fnorm, cos, sin, weights, k, v, ks, vs, *,
+                n_layers, hq, hk, d, eps, scale, act, order, f_dim,
+                interpret=False):
+    """weights: dict name -> (plane u8 (L,Kp,N), scale u16, base u16|None)."""
+    bsz, e_dim = x0.shape
+    _, _, h, s_packed, dp = k.shape
+    pf = dp // d
+    kv_blk = dp // ks.shape[-2]
+    ts = min(_pick_ts(s_packed), 512)
+
+    cfgs = {}
+    for nm in ("qkv", "wo", "w1n3", "w2"):
+        plane, sc, bs = weights[nm]
+        # reconstruct cfg from array shapes + dtype hints stashed in
+        # trailing singleton meta (passed via closure in the public entry)
+        raise RuntimeError("called without cfgs")  # replaced below
+
+
+def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
+                           cache_k, cache_v, cache_ks, cache_vs, cfgs, *,
+                           n_layers, hq, hk, d, eps, scale, act, order,
+                           f_dim, interpret=False):
+    """Build and invoke the pallas_call (non-jit; wrap in jit upstream)."""
+    bsz, e_dim = x0.shape
+    _, _, h, s_packed, dp = cache_k.shape
+    pf = dp // d
+    kv_blk = dp // cache_ks.shape[-2]
+    ts = min(_pick_ts(s_packed), 512)
+    qdim = hq * d
+    kvdim = hk * d
+    w2_ks = cfgs["w2"].k_s
+    nq = cfgs["qkv"].n
+    n13 = cfgs["w1n3"].n
+
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [
+        pl.BlockSpec((bsz, e_dim), lambda l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_dim), lambda l: (l, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_dim), lambda l: (l, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bsz, d), lambda l: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bsz, d), lambda l: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [x0, anorm, fnorm, cos, sin]
+    for nm in ("qkv", "wo", "w1n3", "w2"):
+        plane, sc, bs = weights[nm]
+        in_specs.append(hbm)
+        inputs.append(plane)
+        in_specs.append(hbm)
+        inputs.append(_u16(sc))
+        if cfgs[nm].has_base:
+            in_specs.append(hbm)
+            inputs.append(_u16(bs))
+    for arr in (cache_k, cache_v, _u16(cache_ks), _u16(cache_vs)):
+        in_specs.append(hbm)
+        inputs.append(arr)
+
+    out_specs = [
+        pl.BlockSpec((bsz, e_dim), lambda l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bsz, kvdim), lambda l: (l, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bsz, kvdim), lambda l: (l, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, e_dim), jnp.bfloat16),
+        jax.ShapeDtypeStruct((n_layers, bsz, kvdim), jnp.float32),
+        jax.ShapeDtypeStruct((n_layers, bsz, kvdim), jnp.float32),
+    ]
+
+    n_srows = pf * (d // kv_blk)
+    scratch = [
+        pltpu.VMEM((bsz, e_dim), jnp.bfloat16),   # xres
+        pltpu.VMEM((bsz, e_dim), jnp.bfloat16),   # xn
+        pltpu.VMEM((bsz, nq), jnp.float32),       # qkv_acc
+        pltpu.VMEM((bsz, qdim), jnp.bfloat16),    # attn_ctx
+        pltpu.VMEM((bsz, n13), jnp.float32),      # h2
+        pltpu.VMEM((bsz, w2_ks), jnp.bfloat16),   # hglu
+    ]
+    for nm in ("qkv", "wo", "w1n3", "w2"):
+        cfg = cfgs[nm]
+        scratch.append(pltpu.VMEM((2, cfg.kp, cfg.tn), jnp.uint8))
+        scratch.append(pltpu.VMEM((2, cfg.k_s // cfg.blk, cfg.tn),
+                                  jnp.uint16))
+        if cfg.has_base:
+            scratch.append(pltpu.VMEM((2, cfg.k_s // cfg.blk, cfg.tn),
+                                      jnp.uint16))
+    scratch += [
+        pltpu.VMEM((2, h, ts, dp), cache_k.dtype),   # kbuf
+        pltpu.VMEM((2, h, ts, dp), cache_k.dtype),   # vbuf
+        pltpu.VMEM((2, h, n_srows, ts), jnp.uint16),  # ksbuf
+        pltpu.VMEM((2, h, n_srows, ts), jnp.uint16),  # vsbuf
+        pltpu.VMEM((hq, d), jnp.float32),            # acc_at
+        pltpu.SemaphoreType.DMA((4, 2, 3)),
+        pltpu.SemaphoreType.DMA((4, 2)),
+    ]
+
+    kernel = _make_kernel(
+        cfgs, n_layers=n_layers, bsz=bsz, e_dim=e_dim, hq=hq, hk=hk, d=d,
+        s_packed=s_packed, pf=pf, kv_blk=kv_blk, ts=ts, f_dim=f_dim,
+        w2_ks=w2_ks, eps=eps, scale=scale, act=act, order=order)
+
+    wbytes = sum(int(a.size) * a.dtype.itemsize
+                 for nm in ("qkv", "wo", "w1n3", "w2")
+                 for a in weights[nm] if a is not None)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_layers,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * wbytes * 2,
+            bytes_accessed=wbytes,
+            transcendentals=bsz * hq * s_packed * pf * n_layers,
+        ),
+        interpret=interpret,
+    )(meta, *inputs)
+
+
+# ---------------------------------------------------------------- public
+
+def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
+    """Static eligibility for the whole-model fused decode kernel."""
+    if os.environ.get("INFERFLOW_MEGA", "1") != "1":
+        return False
+    if not isinstance(stacked, dict):
+        return False
+    hp = spec.hyper_params
+    if spec.norm_alg != "rms" or spec.pos_embedding_alg != "rope":
+        return False
+    if spec.is_parallel_attn or not spec.is_attn_post_as_residual:
+        return False
+    if not spec.use_self_attn_pre_norm:
+        return False
+    if spec.attn_out_scale != 1.0 or spec.ffn_out_scale != 1.0:
+        return False
+    rd = spec.effective_rope_dim()
+    if rd not in (-1, 0, None, hp.head_dim):
+        return False
+    if spec.activation_fn not in ("silu", "gelu", "relu"):
+        return False
+    if bsz > 4:
+        return False
+    if cache is None or not cache.quantized:
+        return False
+    d = cache.head_dim
+    if not (d == 128 or (d < 128 and 128 % d == 0)):
+        return False
+    if _pick_ts(cache.k.shape[3]) == 0:
+        return False
+    attn = stacked.get("attn", {})
+    ffn = stacked.get("ffn", {})
+    if "moe" in stacked:
+        return False
+    for grp, keys in ((attn, ("qkv", "wo")), (ffn, ("w1n3", "w2"))):
+        for kk in keys:
+            if kk not in grp:
+                return False
+            if not isinstance(grp[kk], QuantizedTensor):
+                return False
+            if _mm_cfg(kk, grp[kk]) is None:
+                return False
+            if f"{kk}_b" in grp:
+                return False
+    if "pre_norm" not in attn or "pre_norm" not in ffn:
+        return False
+    if "post_norm" in attn or "post_norm" in ffn:
+        return False
+    if attn["pre_norm"].ndim != 2 or ffn["pre_norm"].ndim != 2:
+        return False  # must be layer-stacked (L, E)
+    if spec.qkv_format != 1:
+        return False
+    # w1n3 GLU split must be clean: N == 2 * F and w2 K >= F
+    f_dim = int(ffn["w2"].shape[-2])
+    if int(ffn["w1n3"].shape[-1]) != 2 * f_dim:
+        return False
+    if f_dim % 128:
+        return False
+    return True
+
+
+def fused_decode_step(spec, stacked, x, positions, cache, *,
+                      interpret: bool = False):
+    """One full decode step over all layers.
+
+    x: (B, 1, E) bf16 (post-embedding); positions: (B, 1) = cache.length;
+    cache: packed quantized KVCache.  Returns (x_final (B, 1, E),
+    new KVCache with the step's K/V rows appended).
+    """
+    from ..runtime.kv_cache import append_rows_all_layers
+
+    hp = spec.hyper_params
+    attn = stacked["attn"]
+    ffn = stacked["ffn"]
+    bsz = x.shape[0]
+    e_dim = x.shape[-1]
+    d = hp.head_dim
+    hq, hk = hp.decoder_heads, hp.kv_heads
+    n_layers = cache.num_layers
+
+    cfgs = {
+        "qkv": _mm_cfg("qkv", attn["qkv"]),
+        "wo": _mm_cfg("wo", attn["wo"]),
+        "w1n3": _mm_cfg("w1n3", ffn["w1n3"]),
+        "w2": _mm_cfg("w2", ffn["w2"]),
+    }
+    weights = {
+        "qkv": (attn["qkv"].planes["data"], attn["qkv"].scale,
+                attn["qkv"].base),
+        "wo": (attn["wo"].planes["data"], attn["wo"].scale, attn["wo"].base),
+        "w1n3": (ffn["w1n3"].planes["data"], ffn["w1n3"].scale,
+                 ffn["w1n3"].base),
+        "w2": (ffn["w2"].planes["data"], ffn["w2"].scale, ffn["w2"].base),
+    }
+    f_dim = int(ffn["w2"].shape[-2])
+
+    meta = cache.length.astype(jnp.int32)
+    cos, sin = _expand_cos_sin(positions[:, 0], d, spec.rope_order,
+                               spec.rope_theta)
+    scale = (1.0 / (d ** 0.5)) * spec.kq_scale
+
+    ks = cache.k_scale
+    vs = cache.v_scale
+    x_out, k_new, v_new = fused_decode_step_call(
+        meta, x[:, 0].astype(jnp.bfloat16),
+        attn["pre_norm"].astype(jnp.bfloat16),
+        ffn["pre_norm"].astype(jnp.bfloat16),
+        cos.astype(jnp.float32), sin.astype(jnp.float32),
+        weights, cache.k, cache.v, ks, vs, cfgs,
+        n_layers=n_layers, hq=hq, hk=hk, d=d, eps=spec.norm_eps,
+        scale=scale, act=spec.activation_fn, order=spec.rope_order,
+        f_dim=f_dim, interpret=interpret)
+
+    cache = append_rows_all_layers(
+        cache, k_new.reshape(n_layers, bsz, hk, d),
+        v_new.reshape(n_layers, bsz, hk, d), cache.length)
+    return x_out[:, None, :], cache

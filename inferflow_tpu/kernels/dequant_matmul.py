@@ -144,9 +144,18 @@ def _x_subslices(x: jax.Array, fmt: QuantFormat, k: int):
 
 
 def _make_fast_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int,
-                      k_tiles: int, out_dtype, n_x: int):
+                      k_tiles: int, out_dtype, n_x: int,
+                      upcast: bool = False):
     has_base = fmt.base_kind != "zero"
     n_planes = len(fmt.planes)
+
+    def _dot(a, b):
+        # interpret mode (CPU): this backend's DotThunk rejects bf16 x
+        # bf16 -> f32, so upcast at the dot (bf16 rounding of the weights
+        # is already applied; accumulation is f32 either way)
+        if upcast:
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     def kernel(*refs):
         x_refs = refs[:n_x]
@@ -221,8 +230,7 @@ def _make_fast_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int,
                     qf = q.astype(jnp.float32)
                     w = (qf * sc + bs if bs is not None
                          else qf * sc).astype(jnp.bfloat16)
-                acc_ref[:] += jnp.dot(x_refs[xi][:], w,
-                                      preferred_element_type=jnp.float32)
+                acc_ref[:] += _dot(x_refs[xi][:], w)
                 xi += 1
             shift += spec.bits
 
@@ -234,10 +242,15 @@ def _make_fast_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int,
 
 
 def _make_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int, k_tiles: int,
-                 out_dtype, pair8: bool = False):
+                 out_dtype, pair8: bool = False, upcast: bool = False):
     n_planes = 1 if pair8 else len(fmt.planes)
     has_base = fmt.base_kind != "zero"
     pair = fmt.pair_base11
+
+    def _dot(a, b):
+        if upcast:  # see _make_fast_kernel
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     def kernel(*refs):
         if pair:
@@ -275,10 +288,8 @@ def _make_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int, k_tiles: int,
             bs = _expand_meta(base_ref[:], tk // fmt.block, reps)
             w_even = (v0 * sc + bs).astype(jnp.bfloat16)
             w_odd = (v1 * sc + bs).astype(jnp.bfloat16)
-            acc_ref[:] += jnp.dot(x_even_ref[:], w_even,
-                                  preferred_element_type=jnp.float32)
-            acc_ref[:] += jnp.dot(x_odd_ref[:], w_odd,
-                                  preferred_element_type=jnp.float32)
+            acc_ref[:] += _dot(x_even_ref[:], w_even)
+            acc_ref[:] += _dot(x_odd_ref[:], w_odd)
         else:
             codes = _combined_codes(fmt, [r[:] for r in plane_refs], tk, tn)
             if fmt.signed:
@@ -290,8 +301,7 @@ def _make_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int, k_tiles: int,
                 w = q * sc + bs
             else:
                 w = q * sc
-            acc_ref[:] += jnp.dot(x_ref[:], w.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32)
+            acc_ref[:] += _dot(x_ref[:], w.astype(jnp.bfloat16))
 
         @pl.when(j == k_tiles - 1)
         def _():
@@ -367,7 +377,7 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
     if _fast_eligible(fmt):
         x_subs = _x_subslices(x.astype(jnp.bfloat16), fmt, k)
         kernel = _make_fast_kernel(fmt, tm, tk, tn, k_tiles, out_dtype,
-                                   n_x=len(x_subs))
+                                   n_x=len(x_subs), upcast=interpret)
         for spec in fmt.planes:
             p = 8 // spec.bits
             n_subs = 2 if spec.layout == "split_half" else p
@@ -419,7 +429,8 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
         return out[:m] if m_pad != m else out
 
     pair8 = fmt.pair_base11 and "pair8" in planes
-    kernel = _make_kernel(fmt, tm, tk, tn, k_tiles, out_dtype, pair8=pair8)
+    kernel = _make_kernel(fmt, tm, tk, tn, k_tiles, out_dtype, pair8=pair8,
+                          upcast=interpret)
     if fmt.pair_base11:
         x_even = x[:, 0::2]
         x_odd = x[:, 1::2]
@@ -546,6 +557,10 @@ def quantized_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
                   and _tileable(fmt, k_s, n, pair8))
     if not use_pallas:
         wd = dequantize(qt, x.dtype)
+        if jax.default_backend() != "tpu":
+            # CPU DotThunk rejects bf16 x bf16 -> f32 at gemv shapes
+            return jnp.matmul(x.astype(jnp.float32),
+                              wd.astype(jnp.float32)).astype(x.dtype)
         return jnp.matmul(x, wd, preferred_element_type=jnp.float32
                           ).astype(x.dtype)
     x2 = x.reshape(-1, k)
@@ -565,7 +580,7 @@ def quantized_matmul_interpret(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     k_s = storage_k(qt)
     if not _tileable(fmt, k_s, n, fmt.pair_base11 and "pair8" in qt.planes):
         wd = dequantize(qt, x.dtype)
-        return jnp.matmul(x, wd, preferred_element_type=jnp.float32
+        return jnp.matmul(x.astype(jnp.float32), wd.astype(jnp.float32)
                           ).astype(x.dtype)
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)

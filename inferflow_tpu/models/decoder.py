@@ -94,6 +94,24 @@ def attention_block(spec: ModelSpec, lp: dict, x, positions,
                  rope_dim=rd)
 
     bias = None
+    if layer_cache is not None and "ring" in layer_cache and t > 1:
+        # sequence-parallel prefill: the prompt's seq axis is sharded over
+        # the mesh 'sp' axis; K/V blocks rotate over ICI while each shard
+        # accumulates its queries (parallel/ring_attention.py — the
+        # long-context fresh design; no reference counterpart, SURVEY §5).
+        # K/V still append to the cache for the decode steps that follow.
+        from ..parallel.ring_attention import ring_attention
+        from ..runtime.kv_cache import update_layer_cache
+        r = layer_cache["ring"]
+        layer_cache = update_layer_cache(layer_cache, k, v)
+        out = ring_attention(q, k, v, mesh=r["mesh"], axis_name=r["axis"],
+                             q_positions=positions, kv_len=r.get("kv_len"),
+                             kq_scale=spec.kq_scale)
+        out = out.reshape(b, t, n_heads * head_dim)
+        out = linear(out, lp["wo"], lp.get("wo_b"), use_pallas=use_pallas)
+        if spec.attn_out_scale != 1.0:
+            out = out * spec.attn_out_scale
+        return out, layer_cache
     if layer_cache is not None and "slot" in layer_cache:
         # chunked prefill: T-token chunk of ONE slot appended to the main
         # cache, then flash chunk attention over rows [0, start + T)
@@ -180,13 +198,23 @@ def moe_block(spec: ModelSpec, lp: dict, x, *, use_pallas: bool = True):
 
     The reference routes on the HOST (BuildRowsForMoE, host_tensor_opr.h:55,
     with a device->host logits round trip, inference_worker.cc:1924-2146);
-    here routing stays on device as a dense one-hot combine — XLA-friendly
-    static shapes, no gather round trips.
+    here routing stays on device.  Two paths:
+
+      - decode (T==1, B*top_k < E, experts stacked): gather ONLY the
+        selected experts' weights from the E-leading stacked pytree via
+        dynamic indexing — HBM bytes per step scale with top_k/E instead
+        of streaming every expert (the reference reads top-k only too,
+        inference_worker.cc:2053-2121);
+      - prefill / large batch: dense one-hot combine over all experts
+        (every expert is touched by some token anyway; static shapes).
     """
     hp = spec.hyper_params
     top_k = hp.moe_top_k or 2
-    experts = lp["experts"]
-    n_exp = len(experts)
+    stacked = lp.get("experts_stacked")
+    if stacked is not None:
+        n_exp = _stacked_layer_count(stacked)
+    else:
+        n_exp = len(lp["experts"])
 
     gate_logits = linear(x, lp["gate"], lp.get("gate_b"),
                          use_pallas=use_pallas).astype(jnp.float32)
@@ -194,14 +222,29 @@ def moe_block(spec: ModelSpec, lp: dict, x, *, use_pallas: bool = True):
     top_vals, top_idx = jax.lax.top_k(probs, top_k)
     if hp.moe_norm_top_k_prob:
         top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
-    # dense combine weights (B, T, E)
-    onehot = jax.nn.one_hot(top_idx, n_exp, dtype=jnp.float32)  # (B,T,K,E)
-    combine = jnp.einsum("btke,btk->bte", onehot, top_vals)
 
-    out = jnp.zeros_like(x, dtype=jnp.float32)
-    for e, elp in enumerate(experts):
-        y = ffn_block(spec, elp, x, use_pallas=use_pallas)
-        out = out + y.astype(jnp.float32) * combine[..., e:e + 1]
+    b, t, _ = x.shape
+    if stacked is not None and t == 1 and b * top_k < n_exp:
+        # routed decode: per-slot gather of the top-k experts' weights
+        out = jnp.zeros_like(x, dtype=jnp.float32)
+        for bi in range(b):
+            xi = x[bi:bi + 1]
+            for j in range(top_k):
+                elp = _index_layer(stacked, top_idx[bi, 0, j])
+                y = ffn_block(spec, elp, xi, use_pallas=use_pallas)
+                out = out.at[bi].add(y[0].astype(jnp.float32)
+                                     * top_vals[bi, 0, j])
+    else:
+        # dense combine weights (B, T, E)
+        onehot = jax.nn.one_hot(top_idx, n_exp,
+                                dtype=jnp.float32)  # (B,T,K,E)
+        combine = jnp.einsum("btke,btk->bte", onehot, top_vals)
+        out = jnp.zeros_like(x, dtype=jnp.float32)
+        for e in range(n_exp):
+            elp = (_index_layer(stacked, e) if stacked is not None
+                   else lp["experts"][e])
+            y = ffn_block(spec, elp, x, use_pallas=use_pallas)
+            out = out + y.astype(jnp.float32) * combine[..., e:e + 1]
     if "shared" in lp and lp["shared"]:
         out = out + ffn_block(spec, lp["shared"], x,
                               use_pallas=use_pallas).astype(jnp.float32)
@@ -327,6 +370,67 @@ def decoder_forward(spec: ModelSpec, params: dict, tokens, positions,
     return logits, cache
 
 
+def stack_pytrees(vals):
+    """Stack a list of structurally-identical param pytrees along a NEW
+    leading axis (handles plain arrays and every quantized leaf type)."""
+    if isinstance(vals[0], dict):
+        return {k: stack_pytrees([v[k] for v in vals]) for k in vals[0]}
+    if isinstance(vals[0], list):  # e.g. moe experts
+        n = len(vals[0])
+        return [stack_pytrees([v[j] for v in vals]) for j in range(n)]
+    first = vals[0]
+    if hasattr(first, "qt"):  # QuantizedWithDelta
+        from ..quant.delta import QuantizedWithDelta, DeltaTensor
+        return QuantizedWithDelta(
+            stack_pytrees([v.qt for v in vals]),
+            DeltaTensor(jnp.stack([v.delta.idx for v in vals]),
+                        jnp.stack([v.delta.val for v in vals])))
+    if hasattr(first, "kind"):  # GlobalQuantTensor
+        from ..quant.codec_jax import GlobalQuantTensor
+        return GlobalQuantTensor(
+            first.kind, (len(vals),) + tuple(first.shape),
+            jnp.stack([v.codes for v in vals]),
+            jnp.stack([v.params for v in vals]))
+    if hasattr(first, "planes"):  # QuantizedTensor
+        from ..quant.codec_jax import QuantizedTensor
+        planes = {k: jnp.stack([v.planes[k] for v in vals])
+                  for k in first.planes}
+        scale = jnp.stack([v.scale for v in vals])
+        base = (None if first.base is None
+                else jnp.stack([v.base for v in vals]))
+        return QuantizedTensor(first.format,
+                               (len(vals),) + tuple(first.shape),
+                               planes, scale, base)
+    return jnp.stack([jnp.asarray(v) for v in vals])
+
+
+def stack_moe_experts(layers: list) -> list:
+    """Replace each layer's moe['experts'] list with an E-leading stacked
+    pytree under moe['experts_stacked'] (consuming the list).
+
+    Enables the routed decode path in moe_block: top-k expert weights are
+    gathered by dynamic index from the stacked leading axis, so a decode
+    step streams top_k/E of the expert bytes instead of all of them
+    (reference routes on host then gathers rows,
+    inference_worker.cc:2053-2121; here the GATHER moves weights, which is
+    the memory-bound quantity at batch-1 decode)."""
+    for layer in layers:
+        moe = layer.get("moe")
+        if not moe or "experts" not in moe or not moe["experts"]:
+            continue
+        experts = moe["experts"]
+        keys = set(experts[0].keys())
+        if any(set(e.keys()) != keys for e in experts):
+            continue
+        try:
+            stacked = stack_pytrees(experts)
+        except Exception:
+            continue  # heterogeneous formats: keep the list path
+        moe["experts_stacked"] = stacked
+        del moe["experts"]
+    return layers
+
+
 def stack_layers(layers: list, consume: bool = False) -> dict:
     """Stack homogeneous per-layer param dicts into one leading-L pytree
     (for lax.scan over layers and layer-sharded pipeline parallelism).
@@ -335,38 +439,7 @@ def stack_layers(layers: list, consume: bool = False) -> dict:
     exists (deletes the dict entries), holding peak memory to weights +
     one stacked slot instead of 2x the weights — necessary to stack
     10GB-class models on a 16GB chip."""
-    import numpy as _np
-
-    def stack(vals):
-        if isinstance(vals[0], dict):
-            return {k: stack([v[k] for v in vals]) for k in vals[0]}
-        if isinstance(vals[0], list):  # e.g. moe experts
-            n = len(vals[0])
-            return [stack([v[j] for v in vals]) for j in range(n)]
-        first = vals[0]
-        if hasattr(first, "qt"):  # QuantizedWithDelta
-            from ..quant.delta import QuantizedWithDelta, DeltaTensor
-            return QuantizedWithDelta(
-                stack([v.qt for v in vals]),
-                DeltaTensor(jnp.stack([v.delta.idx for v in vals]),
-                            jnp.stack([v.delta.val for v in vals])))
-        if hasattr(first, "kind"):  # GlobalQuantTensor
-            from ..quant.codec_jax import GlobalQuantTensor
-            return GlobalQuantTensor(
-                first.kind, (len(vals),) + tuple(first.shape),
-                jnp.stack([v.codes for v in vals]),
-                jnp.stack([v.params for v in vals]))
-        if hasattr(first, "planes"):  # QuantizedTensor
-            from ..quant.codec_jax import QuantizedTensor
-            planes = {k: jnp.stack([v.planes[k] for v in vals])
-                      for k in first.planes}
-            scale = jnp.stack([v.scale for v in vals])
-            base = (None if first.base is None
-                    else jnp.stack([v.base for v in vals]))
-            return QuantizedTensor(first.format,
-                                   (len(vals),) + tuple(first.shape),
-                                   planes, scale, base)
-        return jnp.stack([jnp.asarray(v) for v in vals])
+    stack = stack_pytrees
 
     keys = set()
     for l in layers:
@@ -459,7 +532,12 @@ def fuse_layer_weights(layers: list) -> list:
             layer["ffn"] = fuse_ffn(layer["ffn"])
         if "moe" in layer:
             moe = dict(layer["moe"])
-            moe["experts"] = [fuse_ffn(e) for e in moe["experts"]]
+            if "experts" in moe:
+                moe["experts"] = [fuse_ffn(e) for e in moe["experts"]]
+            if "experts_stacked" in moe:
+                # _concat_weights is rank-generic: fusing the E-stacked
+                # (E, K, N) leaves works the same as per-expert
+                moe["experts_stacked"] = fuse_ffn(moe["experts_stacked"])
             if moe.get("shared"):
                 moe["shared"] = fuse_ffn(moe["shared"])
             layer["moe"] = moe
@@ -527,7 +605,8 @@ def _index_layer(stacked, i):
 
 def decoder_forward_scan(spec: ModelSpec, params: dict, tokens, positions,
                          cache: Optional[KVCache] = None, *,
-                         use_pallas: bool = True, input_embeds=None
+                         use_pallas: bool = True, input_embeds=None,
+                         ring: Optional[dict] = None
                          ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Decoder forward with lax.scan over stacked layers.
 
@@ -535,12 +614,14 @@ def decoder_forward_scan(spec: ModelSpec, params: dict, tokens, positions,
     the fast-compile path for deep models and the vehicle for layer-sharded
     (pipeline) parallelism: shard the stacked leading axis over the 'pp'
     mesh axis (parallel/sharding.py).
-    """
+
+    ring: optional {'mesh', 'axis', 'kv_len'} — route prefill attention
+    through sequence-parallel ring attention over that mesh axis."""
     from ..runtime.kv_cache import (layer_cache_slice, store_layer_cache)
 
     x = embed_tokens(spec, params, tokens, positions, input_embeds)
     x, cache = decoder_layers_scan(spec, params["layers"], x, positions,
-                                   cache, use_pallas=use_pallas)
+                                   cache, use_pallas=use_pallas, ring=ring)
     logits = output_logits(spec, params, x, use_pallas=use_pallas)
     if cache is not None:
         cache = cache.with_length(cache.length + tokens.shape[1])
@@ -639,7 +720,8 @@ def _stacked_layer_count(stacked) -> int:
 
 def decoder_layers_scan(spec: ModelSpec, stacked, x, positions,
                         cache: Optional[KVCache] = None, *,
-                        use_pallas: bool = True):
+                        use_pallas: bool = True,
+                        ring: Optional[dict] = None):
     """lax.scan over a stacked layer pytree (no embedding / logits).
 
     Also the entry point for partial-stack execution: host-KV-offload runs
@@ -649,6 +731,9 @@ def decoder_layers_scan(spec: ModelSpec, stacked, x, positions,
     Heterogeneous layer LISTS (e.g. DeepSeek-MoE's dense first layer
     cannot stack) fall back to the unrolled loop."""
     if isinstance(stacked, list):
+        if ring is not None:
+            raise ValueError("ring-attention prefill requires stacked "
+                             "(homogeneous) layers")
         return decoder_layers_unrolled(spec, stacked, x, positions, cache,
                                        use_pallas=use_pallas)
     if cache is None:
@@ -668,6 +753,8 @@ def decoder_layers_scan(spec: ModelSpec, stacked, x, positions,
     def body(h, xs):
         lp, lc = xs
         lc = dict(lc, start=cache.length, head_dim=cache.head_dim)
+        if ring is not None:
+            lc["ring"] = ring
         if lc["k_scale"] is None:
             lc.pop("k_scale"), lc.pop("v_scale")
         h, lc = decoder_layer(spec, lp, h, positions, lc,

@@ -133,8 +133,8 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
                             **{k: _maybe_quant(raw[k], weight_format,
                                                device_layout)
                                for k in ("w1", "w2", "w3")}}
-        from .decoder import fuse_layer_weights
-        return fuse_layer_weights([layer])[0]
+        from .decoder import fuse_layer_weights, stack_moe_experts
+        return stack_moe_experts(fuse_layer_weights([layer]))[0]
 
     from .decoder import stack_layers
 

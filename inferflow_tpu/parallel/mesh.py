@@ -68,6 +68,22 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, ("dp", "pp", "tp"))
 
 
+def make_sp_mesh(sp: int, devices: Optional[Sequence] = None) -> Mesh:
+    """('dp','pp','tp','sp') mesh with only the sequence axis > 1.
+
+    The serving engine's ring-attention prefill (parallel/ring_attention.py)
+    shards the PROMPT over 'sp' while weights stay replicated; the axis
+    names 'dp'/'pp'/'tp' remain present (size 1) so every existing sharding
+    recipe (shard_params, shard_kv_cache, _place_batch) composes unchanged.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) < sp:
+        raise ValueError(f"sequence_parallel={sp} needs {sp} devices, "
+                         f"have {len(devices)}")
+    arr = np.array(devices[:sp]).reshape(1, 1, 1, sp)
+    return Mesh(arr, ("dp", "pp", "tp", "sp"))
+
+
 def mesh_from_groups(groups, devices: Optional[Sequence] = None
                      ) -> Optional[Mesh]:
     """Build the serving mesh from parsed ini device groups

@@ -25,9 +25,12 @@ COL_BIAS = {"wq_b", "wk_b", "wv_b", "qkv_b", "w1_b", "w3_b", "w1n3_b",
             "gate_b"}
 
 
-def spec_for(name: str, ndim: int, stacked: bool) -> P:
-    """PartitionSpec for a named weight inside a layer tree."""
-    lead = ("pp",) if stacked else ()
+def spec_for(name: str, ndim: int, stacked: bool, extra: int = 0) -> P:
+    """PartitionSpec for a named weight inside a layer tree.
+
+    extra: count of additional leading axes between 'pp' and the (K, N)
+    weight dims (1 under an E-stacked 'experts_stacked' subtree)."""
+    lead = (("pp",) if stacked else ()) + (None,) * extra
     if name in COL_SPLIT:
         return P(*lead, None, "tp")
     if name in ROW_SPLIT:
@@ -35,7 +38,7 @@ def spec_for(name: str, ndim: int, stacked: bool) -> P:
     if name in COL_BIAS:
         return P(*lead, "tp")
     # norms / row-split biases / anything 1-D per layer: replicate over tp
-    return P(*lead, *([None] * (ndim - len(lead))))
+    return P(*lead, *([None] * max(ndim - len(lead), 0)))
 
 
 def shard_quantized(qt: QuantizedTensor, mesh: Mesh, pspec: P) -> QuantizedTensor:
@@ -76,16 +79,17 @@ def shard_params(params: dict, mesh: Mesh, stacked: bool = True) -> dict:
         else:
             out[key] = put(val, P(*([None] * getattr(val, "ndim", 1))))
 
-    def shard_layer_tree(tree):
+    def shard_layer_tree(tree, extra=0):
         res = {}
         for name, v in tree.items():
+            sub_extra = extra + (1 if name == "experts_stacked" else 0)
             if isinstance(v, dict):
-                res[name] = shard_layer_tree(v)
+                res[name] = shard_layer_tree(v, sub_extra)
             elif isinstance(v, list):
-                res[name] = [shard_layer_tree(e) for e in v]
+                res[name] = [shard_layer_tree(e, extra) for e in v]
             else:
                 nd = len(v.shape) if isinstance(v, QuantizedTensor) else v.ndim
-                res[name] = put(v, spec_for(name, nd, stacked))
+                res[name] = put(v, spec_for(name, nd, stacked, extra))
         return res
 
     if stacked:

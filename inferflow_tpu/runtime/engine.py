@@ -85,7 +85,8 @@ class InferenceEngine:
                  kv_cache_quantized: Optional[bool] = None,
                  use_pallas: bool = True,
                  cpu_layer_count: int = 0,
-                 mesh=None):
+                 mesh=None,
+                 sequence_parallel: int = 0):
         """mesh: optional jax.sharding.Mesh with ('dp','pp','tp') axes —
         the serving engine's multi-device path (reference
         Infer_TensorParallelism inference_engine.cc:1222-1296 +
@@ -96,6 +97,16 @@ class InferenceEngine:
         self.spec = spec
         hp = spec.hyper_params
         self.params = params
+        # sequence-parallel (ring attention) prefill: the prompt's seq axis
+        # shards over an 'sp' mesh axis, weights replicate (SURVEY §5
+        # long-context fresh design; config key `sequence_parallel`)
+        self.sp_size = max(int(sequence_parallel), 0)
+        if self.sp_size > 1:
+            if mesh is not None:
+                raise ValueError("sequence_parallel and device groups are "
+                                 "mutually exclusive (one mesh per engine)")
+            from ..parallel.mesh import make_sp_mesh
+            mesh = make_sp_mesh(self.sp_size)
         self.mesh = mesh
         if mesh is not None and (spec.host_kv_cache_percent > 0
                                  or cpu_layer_count > 0
@@ -104,10 +115,12 @@ class InferenceEngine:
                              "drop `devices` groups or the offload knobs")
         if isinstance(params.get("layers"), list):
             # fuse QKV / W1|W3 to cut kernel launches per layer
-            from ..models.decoder import fuse_layer_weights
+            from ..models.decoder import fuse_layer_weights, stack_moe_experts
             layers = params["layers"]
             had_separate = all("wq" in l.get("attn", {}) for l in layers)
             layers = fuse_layer_weights(layers)
+            # E-leading expert stacking: enables routed (top-k-only) decode
+            layers = stack_moe_experts(layers)
             if had_separate and all("qkv" in l["attn"] for l in layers):
                 spec = dataclasses.replace(spec, qkv_format=1)
                 self.spec = spec
@@ -333,9 +346,13 @@ class InferenceEngine:
         tmp = KVCache.create(hp.decoder_layers, 1, bucket, hp.kv_heads,
                              hp.head_dim, quantized=self.cache.quantized)
         positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+        ring = None
+        if self.sp_size > 1 and bucket % self.sp_size == 0:
+            ring = {"mesh": self.mesh, "axis": "sp",
+                    "kv_len": jnp.reshape(length, (1,))}
         logits, tmp = decoder_forward_scan(
             self.spec, params, tokens, positions, tmp,
-            use_pallas=self.use_pallas, input_embeds=embeds)
+            use_pallas=self.use_pallas, input_embeds=embeds, ring=ring)
         last = logits[0, length - 1, :]
         return last, tmp
 
@@ -377,7 +394,9 @@ class InferenceEngine:
             qs = pending[0]
             tokens = qs.prompt_tokens
             use_chunked = (len(tokens) > self.prefill_chunk
-                           and not self.host_kv_layers)
+                           and not self.host_kv_layers
+                           and self.sp_size <= 1)  # ring mode prefills
+                           # the whole prompt sharded over 'sp' instead
             from ..utils.study import TAG_LOGITS, perf_key
             if use_chunked:
                 c = self.prefill_chunk
@@ -481,7 +500,8 @@ class InferenceEngine:
                   max_context_len=spec.max_context_len,
                   tokenizer=tok, vocab=tok.vocab if tok else None,
                   cpu_layer_count=max(config.decoder_cpu_layer_count, 0),
-                  mesh=mesh)
+                  mesh=mesh,
+                  sequence_parallel=config.sequence_parallel)
         eng.study = StudyMode(enabled=config.is_study_mode,
                               show_tensors=config.show_tensors)
         eng.perf = PerfStat(enabled=config.enable_perf_stat)
