@@ -143,8 +143,15 @@ def _rmsnorm(x, w, eps: float):
 
 def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                  kv_blk, ts, f_dim, w2_ks, eps, scale, act, order,
-                 bf16_residual=True):
+                 upcast=False):
     """cfgs: dict name -> _MM for qkv/wo/w1n3/w2."""
+
+    def _dot(a, b):
+        # upcast=True in interpret mode: this CPU backend rejects
+        # bf16 x bf16 -> f32 dots (see dequant_matmul._make_fast_kernel)
+        if upcast:
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
     g = hq // hk
     qdim = hq * d
     kvdim = hk * d
@@ -219,16 +226,17 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             reps = cfg.blk // cfg.pk
 
             def dma(j, slot):
-                off = pl.multiple_of(j * cfg.tn, cfg.tn)
+                # j is a static Python int: tile offsets are static slices
+                o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
                 cps = [pltpu.make_async_copy(
-                    plane_ref.at[l, :, pl.ds(off, cfg.tn)],
+                    plane_ref.at[l, :, o0:o1],
                     wb.at[slot], wsems.at[mi, slot, 0]),
                     pltpu.make_async_copy(
-                    sc_ref.at[l, :, pl.ds(off, cfg.tn)],
+                    sc_ref.at[l, :, o0:o1],
                     sb.at[slot], wsems.at[mi, slot, 1])]
                 if cfg.has_base:
                     cps.append(pltpu.make_async_copy(
-                        bs_ref.at[l, :, pl.ds(off, cfg.tn)],
+                        bs_ref.at[l, :, o0:o1],
                         bb.at[slot], wsems.at[mi, slot, 2]))
                 return cps
 
@@ -242,8 +250,13 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         cp.start()
                 for cp in dma(j, slot):
                     cp.wait()
+                # single-plane format: each sub-value s (k % pk == s) is a
+                # COMPLETE code — same scale for every sub, base added to
+                # every sub (the subs partition k; cf. _make_fast_kernel's
+                # per-PLANE shift, which doesn't apply with one plane)
                 sc_small = _decode_f16_bits(sb[slot])  # (K/blk, TN) f32
-                sc0 = jnp.repeat(sc_small, reps, axis=0)  # (Kp, TN)
+                sc0 = jnp.repeat(sc_small, reps, axis=0).astype(
+                    jnp.bfloat16)  # (Kp, TN)
                 bs0 = None
                 if cfg.has_base:
                     bs0 = jnp.repeat(_decode_f16_bits(bb[slot]), reps,
@@ -251,11 +264,12 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 v = wb[slot].astype(jnp.int32)
                 acc = None
                 for s in range(cfg.pk):
-                    if cfg.pk == 1:
-                        q = v if not cfg.signed else v  # already int8
-                    elif cfg.signed:
+                    if cfg.signed:
+                        # arithmetic-shift sign extension
                         q = ((v << (32 - cfg.bits * (s + 1)))
                              >> (32 - cfg.bits))
+                    elif cfg.pk == 1:
+                        q = v
                     else:
                         mask = (1 << cfg.bits) - 1
                         if s == 0:
@@ -264,13 +278,9 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                             q = v >> (cfg.bits * s)
                         else:
                             q = (v >> (cfg.bits * s)) & mask
-                    mult = float(1 << (cfg.bits * s))
-                    sc = (sc0 * mult if s else sc0).astype(jnp.bfloat16)
                     qb = q.astype(jnp.bfloat16)
-                    w = qb * sc + bs0 if (bs0 is not None and s == 0) \
-                        else qb * sc
-                    part = jnp.dot(x_subs[s], w,
-                                   preferred_element_type=jnp.float32)
+                    w = qb * sc0 + bs0 if bs0 is not None else qb * sc0
+                    part = _dot(x_subs[s], w)
                     acc = part if acc is None else acc + part
                 consume(j, acc)
 
@@ -285,8 +295,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
 
         def into_qkv(j, acc):
             cfg = cfgs["qkv"]
-            qkv_acc[:, pl.ds(pl.multiple_of(j * cfg.tn, cfg.tn),
-                             cfg.tn)] = acc
+            qkv_acc[:, j * cfg.tn:(j + 1) * cfg.tn] = acc
         stream_mm("qkv", subslices(xn, cfgs["qkv"]), into_qkv)
 
         # ---- phase 2+3: rope, self-quant, attention ------------------
@@ -302,8 +311,8 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 qb, rot, preferred_element_type=jnp.float32) * sin_b
             k_rot = kb * cos_b + jnp.dot(
                 kb, rot, preferred_element_type=jnp.float32) * sin_b
-            knew_ref[0, b, :] = k_rot.reshape(1, kvdim)
-            vnew_ref[0, b, :] = vb.reshape(1, kvdim)
+            knew_ref[0, b:b + 1, :] = k_rot.reshape(1, kvdim)
+            vnew_ref[0, b:b + 1, :] = vb.reshape(1, kvdim)
 
             # codec-exact self-row quantize->dequantize (codec_jax
             # quantize_q8_sym): the cache row the NEXT step will read is
@@ -423,10 +432,8 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
 
         # ---- phase 4: wo + residual ----------------------------------
         def into_res(j, acc, cfg):
-            off = pl.multiple_of(j * cfg.tn, cfg.tn)
-            xres[:, pl.ds(off, cfg.tn)] = (
-                xres[:, pl.ds(off, cfg.tn)]
-                + acc.astype(jnp.bfloat16))
+            o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
+            xres[:, o0:o1] = xres[:, o0:o1] + acc.astype(jnp.bfloat16)
         stream_mm("wo", subslices(attn_ctx, cfgs["wo"]),
                   lambda j, acc: into_res(j, acc, cfgs["wo"]))
 
@@ -435,7 +442,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
 
         def into_h2(j, acc):
             cfg = cfgs["w1n3"]
-            h2[:, pl.ds(pl.multiple_of(j * cfg.tn, cfg.tn), cfg.tn)] = acc
+            h2[:, j * cfg.tn:(j + 1) * cfg.tn] = acc
         stream_mm("w1n3", subslices(xn, cfgs["w1n3"]), into_h2)
 
         # ---- phase 7: GLU activation ---------------------------------
@@ -466,27 +473,6 @@ def _u16(a):
     return a
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "n_layers", "hq", "hk", "d", "eps", "scale", "act", "order",
-    "f_dim", "interpret"))
-def _fused_call(meta, x0, anorm, fnorm, cos, sin, weights, k, v, ks, vs, *,
-                n_layers, hq, hk, d, eps, scale, act, order, f_dim,
-                interpret=False):
-    """weights: dict name -> (plane u8 (L,Kp,N), scale u16, base u16|None)."""
-    bsz, e_dim = x0.shape
-    _, _, h, s_packed, dp = k.shape
-    pf = dp // d
-    kv_blk = dp // ks.shape[-2]
-    ts = min(_pick_ts(s_packed), 512)
-
-    cfgs = {}
-    for nm in ("qkv", "wo", "w1n3", "w2"):
-        plane, sc, bs = weights[nm]
-        # reconstruct cfg from array shapes + dtype hints stashed in
-        # trailing singleton meta (passed via closure in the public entry)
-        raise RuntimeError("called without cfgs")  # replaced below
-
-
 def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
                            cache_k, cache_v, cache_ks, cache_vs, cfgs, *,
                            n_layers, hq, hk, d, eps, scale, act, order,
@@ -503,14 +489,14 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
     nq = cfgs["qkv"].n
     n13 = cfgs["w1n3"].n
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
-        pl.BlockSpec((bsz, e_dim), lambda l: (0, 0),
+        pl.BlockSpec((bsz, e_dim), lambda l, m: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, e_dim), lambda l: (l, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, e_dim), lambda l: (l, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bsz, d), lambda l: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bsz, d), lambda l: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_dim), lambda l, m: (l, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, e_dim), lambda l, m: (l, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bsz, d), lambda l, m: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bsz, d), lambda l, m: (0, 0), memory_space=pltpu.VMEM),
     ]
     inputs = [x0, anorm, fnorm, cos, sin]
     for nm in ("qkv", "wo", "w1n3", "w2"):
@@ -527,11 +513,11 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
         inputs.append(arr)
 
     out_specs = [
-        pl.BlockSpec((bsz, e_dim), lambda l: (0, 0),
+        pl.BlockSpec((bsz, e_dim), lambda l, m: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bsz, kvdim), lambda l: (l, 0, 0),
+        pl.BlockSpec((1, bsz, kvdim), lambda l, m: (l, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bsz, kvdim), lambda l: (l, 0, 0),
+        pl.BlockSpec((1, bsz, kvdim), lambda l, m: (l, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -570,7 +556,8 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
     kernel = _make_kernel(
         cfgs, n_layers=n_layers, bsz=bsz, e_dim=e_dim, hq=hq, hk=hk, d=d,
         s_packed=s_packed, pf=pf, kv_blk=kv_blk, ts=ts, f_dim=f_dim,
-        w2_ks=w2_ks, eps=eps, scale=scale, act=act, order=order)
+        w2_ks=w2_ks, eps=eps, scale=scale, act=act, order=order,
+        upcast=interpret)
 
     wbytes = sum(int(a.size) * a.dtype.itemsize
                  for nm in ("qkv", "wo", "w1n3", "w2")

@@ -36,6 +36,10 @@ CONFIGS = {
                          inter=14336, vocab=32000, experts=8, moe_top_k=2),
     "test-moe": dict(layers=2, embd=64, heads=4, kv_heads=4, inter=128,
                      vocab=256, experts=4, moe_top_k=2),
+    # GQA llama-shaped, large enough for the fused whole-model decode
+    # kernel's tiling (kernels/decode_step.py: every matmul N % 128 == 0)
+    "test-llama": dict(layers=3, embd=256, heads=8, kv_heads=2, inter=512,
+                       vocab=512),
 }
 
 

@@ -346,6 +346,51 @@ def _scatter_scale_layer(scale_all: jax.Array, new: jax.Array, layer,
     return scale_all
 
 
+def append_rows_all_layers(cache: KVCache, k_new: jax.Array,
+                           v_new: jax.Array, start: jax.Array) -> KVCache:
+    """Append ONE decode row per slot for ALL layers at once.
+
+    k_new/v_new: (L, B, H, D) (the fused whole-model decode kernel's
+    per-layer K/V outputs, kernels/decode_step.py); start: (B,) per-slot
+    seq offsets.  Replaces L per-layer dynamic_update_slice chains with
+    four whole-cache scatters after the single fused kernel call."""
+    l, b, h, d = k_new.shape
+    pf = cache.pf
+    blk = kv_block_for(d)
+
+    def scat_codes(cache_all, codes):
+        # cache_all (L, B, H, S/pf, D*pf); codes (L, B, H, D) int8
+        def one(c, n, s):
+            # c (L, H, S/pf, D*pf); n (L, H, D)
+            return jax.lax.dynamic_update_slice(
+                c, n[:, :, None, :].astype(c.dtype),
+                (0, 0, s // pf, (s % pf) * d))
+        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(
+            cache_all, codes, start)
+
+    def scat_scales(scale_all, sc):
+        # scale_all (L, B, H, pf*C, S/pf); sc (L, B, H, C)
+        c = sc.shape[-1]
+
+        def one(a, n, s):
+            # a (L, H, pf*C, S/pf); n (L, H, C)
+            return jax.lax.dynamic_update_slice(
+                a, n[:, :, :, None].astype(a.dtype),
+                (0, 0, (s % pf) * c, s // pf))
+        return jax.vmap(one, in_axes=(1, 1, 0), out_axes=1)(
+            scale_all, sc, start)
+
+    if cache.quantized:
+        kc, ks = quantize_q8_sym(k_new, blk)
+        vc, vs = quantize_q8_sym(v_new, blk)
+        return KVCache(scat_codes(cache.k, kc), scat_codes(cache.v, vc),
+                       scat_scales(cache.k_scale, ks),
+                       scat_scales(cache.v_scale, vs),
+                       cache.length, head_dim=cache.head_dim)
+    return KVCache(scat_codes(cache.k, k_new), scat_codes(cache.v, v_new),
+                   None, None, cache.length, head_dim=cache.head_dim)
+
+
 def _scatter_rows(cache: jax.Array, new: jax.Array, start: jax.Array):
     """cache: (B, S, ...); new: (B, T, ...); start: (B,) -> per-slot
     dynamic_update_slice along the sequence axis."""

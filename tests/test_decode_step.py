@@ -1,0 +1,100 @@
+"""Whole-model fused decode step (kernels/decode_step.py) parity tests.
+
+Interpret-mode run of the single-call mega-kernel vs the per-layer XLA
+path on identical weights and caches (VERDICT r2 items 1-2)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from inferflow_tpu.models.zoo import make_spec, make_synthetic_params
+from inferflow_tpu.models.decoder import (decoder_layers_scan,
+                                          decoder_layers_unrolled)
+from inferflow_tpu.runtime.kv_cache import KVCache
+
+
+def norm_rmsd(a, b):
+    a = np.asarray(a, np.float32).ravel()
+    b = np.asarray(b, np.float32).ravel()
+    denom = np.sqrt((b * b).mean()) + 1e-9
+    return np.sqrt(((a - b) ** 2).mean()) / denom
+
+
+@pytest.fixture(scope="module", params=["Q4_B64T1", "Q8_B32T2"])
+def model(request):
+    spec = make_spec("test-llama")
+    spec.max_context_len = 128
+    params = make_synthetic_params(spec, weight_format=request.param,
+                                   stacked=True)
+    return spec, params
+
+
+def _prefill(spec, params, bsz, lengths, max_len=128):
+    """Prefill `lengths[b]` random tokens per slot via the XLA path."""
+    hp = spec.hyper_params
+    rng = np.random.default_rng(0)
+    cache = KVCache.create(hp.decoder_layers, bsz, max_len, hp.kv_heads,
+                           hp.head_dim, quantized=True)
+    t = max(lengths)
+    x = jnp.asarray(rng.standard_normal((bsz, t, hp.embd_dims)) * 0.3,
+                    jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(t)[None, :], (bsz, t))
+    _, cache = decoder_layers_scan(spec, params["layers"], x, pos, cache,
+                                   use_pallas=False)
+    # per-slot actual lengths (rows beyond length are garbage; masked)
+    return cache.with_length(jnp.asarray(lengths, jnp.int32))
+
+
+@pytest.mark.parametrize("bsz,lengths", [(1, [7]), (2, [5, 33])])
+def test_fused_step_matches_unrolled(model, bsz, lengths):
+    spec, params = model
+    hp = spec.hyper_params
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+    stacked = params["layers"]
+    cache = _prefill(spec, params, bsz, lengths)
+    assert fused_step_supported(spec, stacked, cache, bsz)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((bsz, 1, hp.embd_dims)) * 0.3,
+                    jnp.bfloat16)
+    pos = cache.length[:, None]
+
+    ref_x, ref_cache = decoder_layers_unrolled(
+        spec, stacked, x, pos, cache, use_pallas=False)
+    got_x, got_cache = fused_decode_step(spec, stacked, x, pos, cache,
+                                         interpret=True)
+
+    err = norm_rmsd(got_x, ref_x)
+    assert err < 0.03, f"hidden-state mismatch: norm_rmsd={err}"
+
+    # appended KV rows must match (same codec, same rope)
+    for layer in (0, hp.decoder_layers - 1):
+        k_ref, v_ref = ref_cache.read_layer(layer, jnp.float32)
+        k_got, v_got = got_cache.read_layer(layer, jnp.float32)
+        for b, ln in enumerate(lengths):
+            np.testing.assert_allclose(
+                np.asarray(k_got[b, ln]), np.asarray(k_ref[b, ln]),
+                rtol=0.05, atol=0.05)
+            np.testing.assert_allclose(
+                np.asarray(v_got[b, ln]), np.asarray(v_ref[b, ln]),
+                rtol=0.05, atol=0.05)
+
+
+def test_fused_step_gating(model):
+    """Unsupported shapes must be rejected, not miscomputed."""
+    spec, params = model
+    from inferflow_tpu.kernels.decode_step import fused_step_supported
+    hp = spec.hyper_params
+    cache = KVCache.create(hp.decoder_layers, 1, 128, hp.kv_heads,
+                           hp.head_dim, quantized=True)
+    assert fused_step_supported(spec, params["layers"], cache, 1)
+    # unquantized cache -> no
+    cache_f = KVCache.create(hp.decoder_layers, 1, 128, hp.kv_heads,
+                             hp.head_dim, quantized=False)
+    assert not fused_step_supported(spec, params["layers"], cache_f, 1)
+    # batch too large -> no
+    assert not fused_step_supported(spec, params["layers"], cache, 8)
+    # list (heterogeneous) layers -> no
+    assert not fused_step_supported(spec, [], cache, 1)
