@@ -80,7 +80,16 @@ def parse_model_spec(data: dict, sid: str = "", base_dir: str = "",
     spec.tensor_name_map = dict(ns.get("tensor_name_mapping", {}))
     spec.tensor_name_pre_map = dict(ns.get("tensor_name_pre_mapping", {}))
 
+    if "max_context_len" in data:
+        spec.max_context_len = int(data["max_context_len"])
+
     hp = spec.hyper_params
+    # top-level vocab sizes (chatglm2-style specs place them outside
+    # network_structure; model_reader.cc:194-446 reads both)
+    for field, key in (("vocab_size", "vocab_size"),
+                       ("padded_vocab_size", "padded_vocab_size")):
+        if key in data:
+            setattr(hp, field, int(data[key]))
     for field, keys in (("vocab_size", ("vocab_size",)),
                         ("embd_dims", ("hidden_size", "embd_dims")),
                         ("decoder_layers", ("decoder_layer_count", "layers")),

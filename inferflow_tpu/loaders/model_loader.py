@@ -129,6 +129,15 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
     leaf = path[-1]
     if arr.ndim == 2 and transpose:
         arr = np.ascontiguousarray(arr.T)
+    if leaf == "lm_head" and spec.normalize_lm_head and arr.ndim == 2:
+        # Baichuan2: L2-normalize each vocab unit of the head at LOAD time,
+        # before quantization (the reference normalizes the fp16/fp32 host
+        # tensor in BuildHostNetwork, network_builder.cc:439-444) — this is
+        # what makes normalize_lm_head compose with quantized heads.  After
+        # transpose the head is (E, V): one vocab unit per column.
+        f32 = arr.astype(np.float32)
+        n = np.linalg.norm(f32, axis=0, keepdims=True)
+        arr = (f32 / np.maximum(n, 1e-12)).astype(np.float32)
     et = _weight_dtype_for(spec, leaf, arr.shape) if leaf in _QUANTIZABLE \
         else None
     from ..quant.formats import GLOBAL_TYPES
@@ -238,6 +247,10 @@ def load_model(spec: ModelSpec, model_dir: Optional[str] = None,
         import logging
         logging.getLogger(__name__).warning(
             "unmapped checkpoint tensors: %s", unmapped[:20])
+    if spec.normalize_lm_head and "lm_head" in params:
+        # applied at load by _prepare_tensor; clear so output_logits
+        # doesn't normalize a second time
+        spec.normalize_lm_head = False
     return finalize_params(spec, params, unmapped=unmapped)
 
 

@@ -335,9 +335,11 @@ def output_logits(spec: ModelSpec, params: dict, x, *, use_pallas: bool = True):
     head = params.get("lm_head")
     if head is None:
         head = params["dec_embeddings"].T  # tied weights
-    if spec.normalize_lm_head and not isinstance(head, jax.Array):
-        raise NotImplementedError("normalize_lm_head on quantized head")
-    if spec.normalize_lm_head:
+    # Quantized heads are normalized at LOAD time (model_loader
+    # _prepare_tensor, mirroring network_builder.cc:439-444 which only
+    # normalizes F16/F32 host tensors); runtime normalization covers the
+    # dense/tied-weights case.
+    if spec.normalize_lm_head and isinstance(head, jax.Array):
         head = head / jnp.linalg.norm(head.astype(jnp.float32), axis=0,
                                       keepdims=True).astype(head.dtype)
     logits = linear(x, head, params.get("lm_head_b"), use_pallas=use_pallas)

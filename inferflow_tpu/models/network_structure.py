@@ -62,6 +62,9 @@ LLAMA_RULES: List[Rule] = (
           "layers.{i}.attn.wo")
     + _wn(rf"(model\.)?layers\.{_L}\.self_attn\.qkv_proj",
           "layers.{i}.attn.qkv")
+    # Baichuan fused QKV (reference network_structure.cc:398)
+    + _wn(rf"(model\.)?layers\.{_L}\.self_attn\.W_pack",
+          "layers.{i}.attn.qkv")
     + [Rule(rf"(model\.)?layers\.{_L}\.input_layernorm\.weight",
             "layers.{i}.attn.pre_norm", False),
        Rule(rf"(model\.)?layers\.{_L}\.input_layernorm\.bias",

@@ -168,8 +168,11 @@ class ModelSpec:
 
     @property
     def rope_order(self) -> int:
-        """qk_column_order 0 -> interleaved rope pairs; 1/2 -> half-split."""
-        return 1 if self.qk_column_order == 0 else 2
+        """qk_column_order 2 -> half-split ("rotate_half", reference
+        PosEmbedding_Rope_Order2_Kernel); 0/1 -> interleaved pairs
+        (PosEmbedding_Rope_Std_Kernel) — the reference dispatches Order2
+        only when order_type == 2 (tensor_opr.cu:727)."""
+        return 2 if self.qk_column_order == 2 else 1
 
     def effective_rope_dim(self) -> int:
         hd = self.hyper_params.head_dim

@@ -161,8 +161,18 @@ def make_multihost_mesh(tp: int = 0) -> Mesh:
     dp, pp, tp = multihost_factors(n_hosts, per_host, tp)
     if n_hosts == 1:
         return make_mesh(jax.devices(), dp, pp, tp)
-    from jax.experimental import mesh_utils
-    devs = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(1, pp, tp), dcn_mesh_shape=(dp, 1, 1),
-        devices=jax.devices())
-    return Mesh(devs, ("dp", "pp", "tp"))
+    devices = jax.devices()
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if len(slice_ids) == dp and None not in slice_ids:
+        # real TPU pods: honor the ICI slice topology
+        from jax.experimental import mesh_utils
+        devs = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, pp, tp), dcn_mesh_shape=(dp, 1, 1),
+            devices=devices)
+        return Mesh(devs, ("dp", "pp", "tp"))
+    # no slice topology (CPU multi-process, or single-slice pods):
+    # group by owning process — 'dp' spans processes (DCN), 'pp'x'tp'
+    # stays inside one process's devices
+    devs = sorted(devices, key=lambda d: (d.process_index, d.id))
+    arr = np.array(devs).reshape(dp, pp, tp)
+    return Mesh(arr, ("dp", "pp", "tp"))

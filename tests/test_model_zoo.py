@@ -215,6 +215,70 @@ def _m2m_tensors(rng):
     return t
 
 
+def _baichuan_tensors(rng, prefix="model."):
+    """W_pack fused QKV (MHA), untied normalized head (Baichuan2)."""
+    t = {f"{prefix}embed_tokens.weight": _r(rng, V, E),
+         f"{prefix}norm.weight": np.ones(E, np.float32),
+         "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        p = f"{prefix}layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(E, np.float32)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(E, np.float32)
+        t[f"{p}.self_attn.W_pack.weight"] = _r(rng, 3 * E, E)
+        t[f"{p}.self_attn.o_proj.weight"] = _r(rng, E, E)
+        t[f"{p}.mlp.gate_proj.weight"] = _r(rng, I, E)
+        t[f"{p}.mlp.down_proj.weight"] = _r(rng, E, I)
+        t[f"{p}.mlp.up_proj.weight"] = _r(rng, I, E)
+    return t
+
+
+def _chatglm2_tensors(rng):
+    """GLM block: fused QKV w/ bias (MQA 2 groups), packed-GLU w1n3."""
+    glm_kv = 2
+    qkv_rows = HEADS * HD + 2 * glm_kv * HD
+    t = {"transformer.embedding.word_embeddings.weight": _r(rng, V, E),
+         "transformer.encoder.final_layernorm.weight": np.ones(
+             E, np.float32),
+         "transformer.output_layer.weight": _r(rng, V, E)}
+    for i in range(L):
+        p = f"transformer.encoder.layers.{i}"
+        t[f"{p}.input_layernorm.weight"] = np.ones(E, np.float32)
+        t[f"{p}.self_attention.query_key_value.weight"] = _r(rng, qkv_rows, E)
+        t[f"{p}.self_attention.query_key_value.bias"] = _r(rng, qkv_rows)
+        t[f"{p}.self_attention.dense.weight"] = _r(rng, E, HEADS * HD)
+        t[f"{p}.post_attention_layernorm.weight"] = np.ones(E, np.float32)
+        t[f"{p}.mlp.dense_h_to_4h.weight"] = _r(rng, 2 * I, E)
+        t[f"{p}.mlp.dense_4h_to_h.weight"] = _r(rng, E, I)
+    return t
+
+
+def _falcon40_tensors(rng):
+    """Falcon-40B family: dual ln_attn/ln_mlp norms, parallel attention."""
+    g = HEADS // KV
+    t = {"transformer.word_embeddings.weight": _r(rng, V, E),
+         "transformer.ln_f.weight": np.ones(E, np.float32),
+         "transformer.ln_f.bias": np.zeros(E, np.float32),
+         "lm_head.weight": _r(rng, V, E)}
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        t[f"{p}.ln_attn.weight"] = np.ones(E, np.float32)
+        t[f"{p}.ln_attn.bias"] = np.zeros(E, np.float32)
+        t[f"{p}.ln_mlp.weight"] = np.ones(E, np.float32)
+        t[f"{p}.ln_mlp.bias"] = np.zeros(E, np.float32)
+        t[f"{p}.self_attention.query_key_value.weight"] = _r(
+            rng, (g + 2) * KV * HD, E)
+        t[f"{p}.self_attention.dense.weight"] = _r(rng, E, HEADS * HD)
+        t[f"{p}.mlp.dense_h_to_4h.weight"] = _r(rng, I, E)
+        t[f"{p}.mlp.dense_4h_to_h.weight"] = _r(rng, E, I)
+    return t
+
+
+_LLAMA_CFG = {"model_type": "llama", "hidden_size": E,
+              "num_hidden_layers": L, "num_attention_heads": HEADS,
+              "num_key_value_heads": KV, "intermediate_size": I,
+              "vocab_size": V, "rms_norm_eps": 1e-5}
+
+
 # model name -> (tensor builder, config.json, forward kind)
 ZOO = {
     "mistral_7b_instruct": (
@@ -294,6 +358,63 @@ ZOO = {
          "decoder_attention_heads": HEADS, "decoder_ffn_dim": I,
          "vocab_size": V},
         "encdec"),
+    # --- round-3 zoo parity additions (VERDICT r2 item 6) ---
+    "llama2_7b_chat_hf": (lambda rng: _llama_tensors(rng),
+                          dict(_LLAMA_CFG), "decoder"),
+    "fusellm_7b": (lambda rng: _llama_tensors(rng),
+                   dict(_LLAMA_CFG), "decoder"),
+    "open_llama_3b": (lambda rng: _llama_tensors(rng),
+                      dict(_LLAMA_CFG), "decoder"),
+    "internlm_chat_20b": (lambda rng: _llama_tensors(rng),
+                          dict(_LLAMA_CFG, model_type="internlm"),
+                          "decoder"),
+    "orion_14b_chat": (lambda rng: _llama_tensors(rng),
+                       dict(_LLAMA_CFG, model_type="orion"), "decoder"),
+    "xverse_13b_chat": (lambda rng: _llama_tensors(rng),
+                        dict(_LLAMA_CFG, model_type="xverse"), "decoder"),
+    "aquila_chat2_34b": (lambda rng: _llama_tensors(rng),
+                         dict(_LLAMA_CFG, model_type="aquila"), "decoder"),
+    "yi_34b_chat": (lambda rng: _llama_tensors(rng),
+                    dict(_LLAMA_CFG, model_type="yi"), "decoder"),
+    "yi_6b_200k": (lambda rng: _llama_tensors(rng),
+                   dict(_LLAMA_CFG, model_type="yi"), "decoder"),
+    "qwen1.5_0.5b_chat": (lambda rng: _llama_tensors(rng, biases=True,
+                                                     tied=True),
+                          dict(_LLAMA_CFG, model_type="qwen2",
+                               tie_word_embeddings=True), "decoder"),
+    "minicpm_2b_dpo_bf16": (lambda rng: _llama_tensors(rng, tied=True),
+                            dict(_LLAMA_CFG, model_type="minicpm",
+                                 tie_word_embeddings=True), "decoder"),
+    "baichuan2_7b_chat": (_baichuan_tensors,
+                          dict(_LLAMA_CFG, model_type="baichuan",
+                               num_key_value_heads=HEADS), "decoder"),
+    "baichuan2_13b_chat": (_baichuan_tensors,
+                           dict(_LLAMA_CFG, model_type="baichuan",
+                                num_key_value_heads=HEADS), "decoder"),
+    "chatglm2_6b": (_chatglm2_tensors,
+                    {"model_type": "chatglm", "hidden_size": E,
+                     "num_layers": L, "num_attention_heads": HEADS,
+                     "multi_query_group_num": 2, "ffn_hidden_size": I,
+                     "padded_vocab_size": V, "vocab_size": V,
+                     "layernorm_epsilon": 1e-5}, "decoder"),
+    "falcon_40b_instruct": (_falcon40_tensors,
+                            {"model_type": "falcon", "hidden_size": E,
+                             "num_hidden_layers": L,
+                             "num_attention_heads": HEADS, "n_head_kv": KV,
+                             "vocab_size": V, "parallel_attn": True,
+                             "ffn_dim": I,
+                             "new_decoder_architecture": True}, "decoder"),
+    "opt_13b": (_opt_tensors,
+                {"model_type": "opt", "hidden_size": E,
+                 "num_hidden_layers": L, "num_attention_heads": HEADS,
+                 "ffn_dim": I, "vocab_size": V,
+                 "max_position_embeddings": 64}, "decoder"),
+    "opt_iml_max_30b": (_opt_tensors,
+                        {"model_type": "opt", "hidden_size": E,
+                         "num_hidden_layers": L,
+                         "num_attention_heads": HEADS, "ffn_dim": I,
+                         "vocab_size": V,
+                         "max_position_embeddings": 64}, "decoder"),
 }
 
 
@@ -341,6 +462,11 @@ def test_zoo_spec_loads_and_runs(name, tmp_path):
         # checkpoint is resized, let config.json fill them
         spec.hyper_params.experts = 0
         spec.hyper_params.moe_top_k = 0
+    # production-scale spec constants don't fit the shrunken test shapes
+    spec.hyper_params.vocab_size = 0
+    spec.hyper_params.padded_vocab_size = 0
+    if spec.rope_dim > HD:  # chatglm2's rope_dim=64 vs test head_dim
+        spec.rope_dim = HD // 2
     params = load_model(spec, str(tmp_path))
 
     tokens = jnp.asarray([[3, 5, 9, 2]], jnp.int32)
@@ -364,6 +490,43 @@ def test_zoo_spec_loads_and_runs(name, tmp_path):
         logits, _, _ = encdec_forward(spec, params, tokens, tokens)
         assert logits.shape == (1, 4, V)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_normalize_lm_head_on_quantized_head(tmp_path):
+    """Baichuan2's normalize_lm_head composes with a QUANTIZED head: the
+    loader L2-normalizes the fp weights BEFORE quantization (reference
+    network_builder.cc:439-444 normalizes the host tensor pre-upload),
+    so logits match normalize-then-quantize within codec error."""
+    from inferflow_tpu.quant.codec_jax import QuantizedTensor
+    from inferflow_tpu.quant import codec_np
+
+    spec_path = os.path.join(CONFIG_DIR, "baichuan2_7b_chat",
+                             "model_spec.json")
+    spec = load_model_spec(spec_path, sid="baichuan2_7b_chat")
+    assert spec.normalize_lm_head
+    rng = np.random.default_rng(7)
+    tensors = _baichuan_tensors(rng)
+    with open(tmp_path / "config.json", "w") as fh:
+        json.dump(dict(_LLAMA_CFG, model_type="baichuan",
+                       num_key_value_heads=HEADS), fh)
+    _write_checkpoint(tmp_path, spec, tensors)
+
+    spec.device_weight_data_type = "Q8_B32T2"
+    spec.tensor_quant_threshold = 1  # quantize everything incl. the head
+    params = load_model(spec, str(tmp_path))
+    assert isinstance(params["lm_head"], QuantizedTensor)
+    assert not spec.normalize_lm_head  # consumed at load
+
+    # ground truth: normalize rows of the (V, E) checkpoint tensor, then
+    # quantize->dequantize with the numpy codec
+    w = tensors["lm_head.weight"].astype(np.float32)
+    w = w / np.linalg.norm(w, axis=1, keepdims=True)
+    wt = np.ascontiguousarray(w.T)  # (E, V)
+    ref = codec_np.dequantize_np(codec_np.quantize_np(
+        wt.astype(np.float16).astype(np.float32), "Q8_B32T2"))
+    from inferflow_tpu.quant.codec_jax import dequantize as _dq
+    got = np.asarray(_dq(params["lm_head"], jnp.float32))[:wt.shape[0]]
+    assert np.allclose(got, ref, atol=2e-2), np.abs(got - ref).max()
 
 
 def test_all_zoo_specs_parse():
