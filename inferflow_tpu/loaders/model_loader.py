@@ -157,6 +157,9 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
             from ..quant.codec_jax import requantize_q8_container
 
             def _layout(qt):
+                if spec.device_layout == "i8mm":
+                    from ..quant.codec_jax import requantize_i8_colwise
+                    return requantize_i8_colwise(qt)
                 if spec.device_layout == "q8c":
                     qt = requantize_q8_container(qt)
                 return pad_weight_for_tpu(qt)

@@ -403,6 +403,11 @@ def stack_pytrees(vals):
         return QuantizedTensor(first.format,
                                (len(vals),) + tuple(first.shape),
                                planes, scale, base)
+    if hasattr(first, "data"):  # Int8MXUTensor
+        from ..quant.codec_jax import Int8MXUTensor
+        return Int8MXUTensor((len(vals),) + tuple(first.shape),
+                             jnp.stack([v.data for v in vals]),
+                             jnp.stack([v.scale for v in vals]))
     return jnp.stack([jnp.asarray(v) for v in vals])
 
 
@@ -494,6 +499,17 @@ def _concat_weights(parts):
         return QuantizedTensor(first.format,
                                tuple(first.shape[:-1]) + (n,),
                                planes, scale, base)
+    from ..quant.codec_jax import Int8MXUTensor
+    if isinstance(first, Int8MXUTensor):
+        if not all(isinstance(p, Int8MXUTensor)
+                   and p.shape[-2] == first.shape[-2] for p in parts):
+            return None
+        n = sum(int(p.shape[-1]) for p in parts)
+        return Int8MXUTensor(tuple(first.shape[:-1]) + (n,),
+                             jnp.concatenate([p.data for p in parts],
+                                             axis=-1),
+                             jnp.concatenate([p.scale for p in parts],
+                                             axis=-1))
     if any(hasattr(p, "qt") for p in parts):  # delta tensors: skip
         return None
     if not all(hasattr(p, "ndim") and p.ndim == first.ndim
@@ -573,6 +589,10 @@ def split_layers(layers, h: int):
                                    {k: p[h:] for k, p in v.planes.items()},
                                    v.scale[h:],
                                    None if v.base is None else v.base[h:])
+        if hasattr(v, "data"):  # Int8MXUTensor
+            from ..quant.codec_jax import Int8MXUTensor
+            return Int8MXUTensor((v.shape[0] - h,) + tuple(v.shape[1:]),
+                                 v.data[h:], v.scale[h:])
         return v[h:]
 
     return prefix, tail(layers)
@@ -600,6 +620,9 @@ def _index_layer(stacked, i):
                                    {k: p[i] for k, p in v.planes.items()},
                                    v.scale[i],
                                    None if v.base is None else v.base[i])
+        if hasattr(v, "data"):  # Int8MXUTensor
+            from ..quant.codec_jax import Int8MXUTensor
+            return Int8MXUTensor(tuple(v.shape[1:]), v.data[i], v.scale[i])
         return v[i]
 
     return sel(stacked)

@@ -70,6 +70,9 @@ def _maybe_quant(w, weight_format: Optional[str], device_layout: str = ""):
         return w.astype(jnp.bfloat16)
     from ..kernels.dequant_matmul import pad_weight_for_tpu
     qt = quantize(w, weight_format)
+    if device_layout == "i8mm":
+        from ..quant.codec_jax import requantize_i8_colwise
+        return requantize_i8_colwise(qt)
     if device_layout == "q8c":
         from ..quant.codec_jax import requantize_q8_container
         qt = requantize_q8_container(qt)
@@ -204,6 +207,12 @@ def _prealloc_stacked(layer: dict, n_layers: int):
                 v.kind, (n_layers,) + tuple(v.shape),
                 jnp.zeros((n_layers,) + v.codes.shape, v.codes.dtype),
                 jnp.zeros((n_layers,) + v.params.shape, v.params.dtype))
+        if hasattr(v, "data"):  # Int8MXUTensor
+            from ..quant.codec_jax import Int8MXUTensor
+            return Int8MXUTensor(
+                (n_layers,) + tuple(v.shape),
+                jnp.zeros((n_layers,) + v.data.shape, v.data.dtype),
+                jnp.zeros((n_layers,) + v.scale.shape, v.scale.dtype))
         arr = jnp.asarray(v)
         return jnp.zeros((n_layers,) + arr.shape, arr.dtype)
 
@@ -250,6 +259,12 @@ def _fill_layer(stacked_tree, layer: dict, i: int):
                 sv.kind, sv.shape,
                 _set_leaf(sv.codes, lv.codes, jnp.int32(i)),
                 _set_leaf(sv.params, lv.params, jnp.int32(i)))
+        if hasattr(sv, "data"):  # Int8MXUTensor
+            from ..quant.codec_jax import Int8MXUTensor
+            return Int8MXUTensor(
+                sv.shape,
+                _set_leaf(sv.data, lv.data, jnp.int32(i)),
+                _set_leaf(sv.scale, lv.scale, jnp.int32(i)))
         return _set_leaf(sv, jnp.asarray(lv), jnp.int32(i))
 
     return fill(stacked_tree, layer)

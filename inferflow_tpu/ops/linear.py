@@ -14,10 +14,12 @@ from typing import Optional, Union
 import jax
 import jax.numpy as jnp
 
-from ..quant.codec_jax import (GlobalQuantTensor, QuantizedTensor,
-                               dequantize)
+from ..quant.codec_jax import (GlobalQuantTensor, Int8MXUTensor,
+                               QuantizedTensor, dequantize,
+                               int8_rowwise_activations)
 
-Weight = Union[jax.Array, QuantizedTensor, GlobalQuantTensor]
+Weight = Union[jax.Array, QuantizedTensor, GlobalQuantTensor,
+               Int8MXUTensor]
 
 # toggled by runtime config / tests; pallas kernels register here
 _PALLAS_MATMUL = None
@@ -36,6 +38,19 @@ def linear(x: jax.Array, w: Weight, bias: Optional[jax.Array] = None,
     if isinstance(w, QuantizedWithDelta):
         y = linear(x, w.qt, None, use_pallas=use_pallas)
         y = y + apply_delta(x, w.delta)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+    if isinstance(w, Int8MXUTensor):
+        # int8 x int8 on the MXU (device_layout='i8mm'): quantize each
+        # activation row symmetrically, integer matmul accumulating int32,
+        # rescale by row*column scales (the factorized analog of the
+        # reference's Gemv_AX8 block accumulate, gemv.h:1500-1711)
+        xq, xs = int8_rowwise_activations(x)
+        acc = jax.lax.dot_general(
+            xq, w.data, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * xs * w.scale).astype(x.dtype)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y

