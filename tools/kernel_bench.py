@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--skip-perf", action="store_true")
     ap.add_argument("--attention", action="store_true",
                     help="also check the fused attention kernels")
+    ap.add_argument("--i8mm", action="store_true",
+                    help="also measure the int8 x int8 MXU path "
+                    "(device_layout='i8mm'): parity vs f32 matmul and "
+                    "effective GB/s of int8-weight streaming")
     ap.add_argument("--inner-chain", action="store_true",
                     help="measure IN-JIT per-call cost: slope between 4 "
                     "and 16 kernel invocations inside one jit (requires "
@@ -136,6 +140,49 @@ def main():
             t_lo, t_hi = chain(32), chain(256)
             per = max((t_hi - t_lo) / 224, 1e-9)
             line += f"  {packed / per / 1e9:7.1f} GB/s  ({per*1e3:.2f} ms)"
+        print(line, flush=True)
+
+    if args.i8mm:
+        # int8 weights on the MXU integer path (VERDICT r2 item 8): the
+        # weight stream is 1 byte/value with NO VPU unpack, so if XLA's
+        # int8 dot keeps the MXU fed this should run at full HBM rate —
+        # 2x the bytes of Q4 but ~2-3x the effective rate of the
+        # VPU-unpack-bound sub-byte kernels
+        from inferflow_tpu.ops.linear import linear
+        from inferflow_tpu.quant.codec_jax import requantize_i8_colwise
+        t = requantize_i8_colwise(w)
+        y = np.asarray(linear(x, t), np.float32)
+        ref = np.asarray(jnp.matmul(x.astype(jnp.float32),
+                                    w.astype(jnp.float32)), np.float32)
+        err = norm_rmsd(y, ref)
+        ok = err < args.tol
+        failures += 0 if ok else 1
+        line = f"{'i8mm':11s} parity norm_rmsd={err:.5f} {'OK' if ok else 'FAIL'}"
+        if not args.skip_perf:
+            assert k == n, "--i8mm perf needs square K==N"
+
+            @jax.jit
+            def step8(xs):
+                y = linear(xs, t)
+                return (jnp.tanh(y[:, :k]) * 0.5 + xs * 0.75).astype(x.dtype)
+
+            s = x
+            for _ in range(3):
+                s = step8(s)
+            np.asarray(s[0, :2])
+
+            def chain8(it):
+                t0 = time.time()
+                ss = x
+                for _ in range(it):
+                    ss = step8(ss)
+                np.asarray(ss[0, :2])
+                return time.time() - t0
+
+            per = min(max((chain8(256) - chain8(32)) / 224, 1e-9)
+                      for _ in range(3))
+            line += (f"  {t.data.nbytes / per / 1e9:7.1f} GB/s "
+                     f"({per*1e3:.2f} ms)")
         print(line, flush=True)
 
     if args.attention:
