@@ -104,20 +104,40 @@ def main():
     from inferflow_tpu.models.decoder import (decoder_layers_unrolled,
                                               embed_tokens, output_logits)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def decode_step_impl(params, state):
-        tok, cache = state
-        pos = cache.length[:, None]
-        x = embed_tokens(spec, params, tok, pos)
-        x, cache = decoder_layers_unrolled(spec, params["layers"], x, pos,
-                                           cache)
-        logits = output_logits(spec, params, x)
-        cache = cache.with_length(cache.length + 1)
-        nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-        return nxt, cache
+    def make_decode_step():
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_step_impl(params, state):
+            tok, cache = state
+            pos = cache.length[:, None]
+            x = embed_tokens(spec, params, tok, pos)
+            x, cache = decoder_layers_unrolled(spec, params["layers"], x,
+                                               pos, cache)
+            logits = output_logits(spec, params, x)
+            cache = cache.with_length(cache.length + 1)
+            nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+            return nxt, cache
 
-    def decode_step(state):
-        return decode_step_impl(params, state)
+        return lambda state: decode_step_impl(params, state)
+
+    decode_step = make_decode_step()
+
+    def probe_compile(state):
+        """Compile-probe the decode step; if the whole-model fused kernel
+        (kernels/decode_step.py) fails to build on this chip, fall back to
+        the per-layer path rather than failing the bench outright."""
+        nonlocal decode_step
+        probe = jax.tree_util.tree_map(jnp.copy, state)
+        try:
+            out = decode_step(probe)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+        except Exception as e:  # noqa: BLE001 — any compile/runtime error
+            if os.environ.get("INFERFLOW_MEGA", "1") != "1":
+                raise
+            print(f"# fused decode step failed ({type(e).__name__}); "
+                  f"falling back to per-layer path", file=sys.stderr)
+            os.environ["INFERFLOW_MEGA"] = "0"
+            jax.clear_caches()
+            decode_step = make_decode_step()
 
     mode = os.environ.get("INFERFLOW_BENCH_MODE", "decode")
     if mode == "speculative":
@@ -210,6 +230,7 @@ def main():
     )(params, prompt, ppos, cache)
     tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
 
+    probe_compile((tok, cache))
     per_step = slope_time(decode_step, (tok, cache), lo=16, hi=64)
     tps = batch / per_step
 

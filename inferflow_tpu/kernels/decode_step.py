@@ -20,9 +20,13 @@ Per layer (reference: the ProcessGpuLayer loop, inference_worker.cc:762-981
   dequant-on-read) -> wo (streamed, fused residual add) -> rmsnorm ->
   w1n3 (streamed) -> GLU activation -> w2 (streamed, fused residual add)
 
-Weight streaming reuses the sub-plane-dot trick of kernels/dequant_matmul.py
-(each packed byte's sub-values dot against k-strided activation slices;
-scale premultiplied per plane shift) — see that module for the math.
+Weight unpack differs from kernels/dequant_matmul.py's sub-plane-dot: that
+kernel receives its k-strided activation slices from OUTSIDE (XLA level),
+but here the activations are produced in-kernel and Mosaic supports no
+strided slice / gather, so each packed byte row is repeated pk times
+across sublanes and every row extracts its sub-value with a per-row
+vector shift (sublane iota % pk); one full-K dot replaces the pk
+sub-dots (see stream_mm).
 
 Supported (v1): decoder-only llama-family blocks — RMS pre-norms, RoPE
 (both column orders, full rotary), GQA, fused qkv/w1n3, no biases,
@@ -215,15 +219,46 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             hglu[:] = jnp.zeros_like(hglu)  # K-pad tail must stay zero
 
         # ---- streamed dequant-matmul ---------------------------------
-        def stream_mm(nm, x_subs, consume):
-            """x_subs: list of pk (B, K/pk) bf16 activations; consume(j, acc)
-            applies the (B, TN) f32 tile j."""
+        # Unpack design constraint: Mosaic supports NO strided slice
+        # (vector.extract_strided_slice verifies stride==1) and no
+        # gather/scatter, so the per-sub-value dot of dequant_matmul.py
+        # (pk dots against k-strided activation slices, sliced OUTSIDE
+        # that kernel at the XLA level) cannot be reproduced on in-kernel
+        # activations.  Instead each packed byte row is repeated pk times
+        # across sublanes (the same sublane-repeat the scale expansion
+        # already uses) and every row extracts ITS value with a per-row
+        # VECTOR shift built from a sublane iota: row k of the expanded
+        # tile holds byte k//pk shifted by bits*(k%pk).  One full-K dot
+        # replaces the pk sub-dots; K is chunked to bound the (Kc, TN)
+        # int32/bf16 temporaries in VMEM.
+        def _pick_chunk(cfg):
+            kc = cfg.kp
+            # (chunk*pk) must stay a multiple of the quant block so the
+            # scale rows for a chunk are a whole-row slice
+            step = max(cfg.blk // cfg.pk, 1)
+            while kc > 512 and kc % 2 == 0 and (kc // 2) % step == 0:
+                kc //= 2
+            return kc
+
+        def stream_mm(nm, xv, consume):
+            """xv: (B, K) bf16 activations; consume(j, acc) applies the
+            (B, TN) f32 tile j."""
             cfg = cfgs[nm]
             plane_ref, sc_ref, bs_ref = w_refs[nm]
             wb, sb, bb = wbufs[nm]
             mi = mm_names.index(nm)
             ntiles = cfg.n // cfg.tn
-            reps = cfg.blk // cfg.pk
+            kc = _pick_chunk(cfg)
+            mask = (1 << cfg.bits) - 1
+
+            # per-row sub index / shift amounts, shared by all tiles
+            if cfg.pk > 1:
+                srow = jax.lax.broadcasted_iota(
+                    jnp.int32, (kc * cfg.pk, 1), 0) % cfg.pk
+                if cfg.signed:
+                    lsh = 32 - cfg.bits - cfg.bits * srow
+                else:
+                    rsh = cfg.bits * srow
 
             def dma(j, slot):
                 # j is a static Python int: tile offsets are static slices
@@ -250,53 +285,47 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         cp.start()
                 for cp in dma(j, slot):
                     cp.wait()
-                # single-plane format: each sub-value s (k % pk == s) is a
-                # COMPLETE code — same scale for every sub, base added to
-                # every sub (the subs partition k; cf. _make_fast_kernel's
-                # per-PLANE shift, which doesn't apply with one plane)
+                # single-plane format: each packed sub-value is a COMPLETE
+                # code — w = q * scale[k // blk] (+ base[k // blk])
                 sc_small = _decode_f16_bits(sb[slot])  # (K/blk, TN) f32
-                sc0 = jnp.repeat(sc_small, reps, axis=0).astype(
-                    jnp.bfloat16)  # (Kp, TN)
-                bs0 = None
-                if cfg.has_base:
-                    bs0 = jnp.repeat(_decode_f16_bits(bb[slot]), reps,
-                                     axis=0).astype(jnp.bfloat16)
-                v = wb[slot].astype(jnp.int32)
+                bs_small = (_decode_f16_bits(bb[slot])
+                            if cfg.has_base else None)
                 acc = None
-                for s in range(cfg.pk):
-                    if cfg.signed:
-                        # arithmetic-shift sign extension
-                        q = ((v << (32 - cfg.bits * (s + 1)))
-                             >> (32 - cfg.bits))
-                    elif cfg.pk == 1:
-                        q = v
-                    else:
-                        mask = (1 << cfg.bits) - 1
-                        if s == 0:
-                            q = v & mask
-                        elif s == cfg.pk - 1:
-                            q = v >> (cfg.bits * s)
+                for c0 in range(0, cfg.kp, kc):
+                    v = wb[slot][c0:c0 + kc, :].astype(jnp.int32)
+                    if cfg.pk == 1:
+                        if cfg.signed:
+                            q = (v << 24) >> 24
                         else:
-                            q = (v >> (cfg.bits * s)) & mask
+                            q = v
+                    else:
+                        vr = jnp.repeat(v, cfg.pk, axis=0)  # (kc*pk, TN)
+                        if cfg.signed:
+                            # arithmetic-shift sign extension, per-row
+                            # vector shift amounts
+                            q = (vr << lsh) >> (32 - cfg.bits)
+                        else:
+                            q = (vr >> rsh) & mask
                     qb = q.astype(jnp.bfloat16)
-                    w = qb * sc0 + bs0 if bs0 is not None else qb * sc0
-                    part = _dot(x_subs[s], w)
+                    r0 = c0 * cfg.pk // cfg.blk
+                    r1 = (c0 + kc) * cfg.pk // cfg.blk
+                    sc = jnp.repeat(sc_small[r0:r1, :], cfg.blk,
+                                    axis=0).astype(jnp.bfloat16)
+                    w = qb * sc
+                    if bs_small is not None:
+                        w = w + jnp.repeat(bs_small[r0:r1, :], cfg.blk,
+                                           axis=0).astype(jnp.bfloat16)
+                    part = _dot(xv[:, c0 * cfg.pk:(c0 + kc) * cfg.pk], w)
                     acc = part if acc is None else acc + part
                 consume(j, acc)
 
-        def subslices(src, cfg):
-            xv = src[:]
-            if cfg.pk == 1:
-                return [xv]
-            return [xv[:, s::cfg.pk] for s in range(cfg.pk)]
-
         # ---- phase 1: attn norm + qkv --------------------------------
-        xn[:] = _rmsnorm(xres[:], anorm_ref[0], eps)
+        xn[:] = _rmsnorm(xres[:], anorm_ref[0], eps)  # [0] -> (1, E)
 
         def into_qkv(j, acc):
             cfg = cfgs["qkv"]
             qkv_acc[:, j * cfg.tn:(j + 1) * cfg.tn] = acc
-        stream_mm("qkv", subslices(xn, cfgs["qkv"]), into_qkv)
+        stream_mm("qkv", xn[:], into_qkv)
 
         # ---- phase 2+3: rope, self-quant, attention ------------------
         rot = _rot_matrix(d, order)
@@ -353,7 +382,12 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             acc_at[:] = jnp.zeros_like(acc_at)
 
             def body(j, carry):
-                m_run, l_run = carry
+                # carry = per-kv-head tuples of (g, 1) running max / sum:
+                # h is static, so tuple indexing replaces the row-slice
+                # updates (scatter / dynamic_update_slice on loop-carry
+                # VALUES have no Mosaic lowering; ref stores would force a
+                # VMEM round-trip per tile)
+                m_t, l_t = map(list, carry)
                 slot = jax.lax.rem(j, 2)
 
                 @pl.when(j + 1 < nb)
@@ -387,8 +421,8 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         scores = scores * scale
                         scores = jnp.where(pos < length, scores, NEG_INF)
 
-                        m_h = m_run[h * g:(h + 1) * g, :]
-                        l_h = l_run[h * g:(h + 1) * g, :]
+                        m_h = m_t[h]
+                        l_h = l_t[h]
                         m_new = jnp.maximum(m_h, jnp.max(scores, axis=-1,
                                                          keepdims=True))
                         alpha = jnp.exp(m_h - m_new)
@@ -403,12 +437,13 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                                 alpha * acc_at[h * g:(h + 1) * g, sl]
                                 + jnp.dot(pc, vf[:, sl],
                                           preferred_element_type=jnp.float32))
-                        m_run = m_run.at[h * g:(h + 1) * g, :].set(m_new)
-                        l_run = l_run.at[h * g:(h + 1) * g, :].set(l_new)
-                return m_run, l_run
+                        m_t[h] = m_new
+                        l_t[h] = l_new
+                return tuple(m_t), tuple(l_t)
 
-            m0 = jnp.full((hq, 1), NEG_INF, jnp.float32)
-            l0 = jnp.zeros((hq, 1), jnp.float32)
+            m0 = tuple(jnp.full((g, 1), NEG_INF, jnp.float32)
+                       for _ in range(hk))
+            l0 = tuple(jnp.zeros((g, 1), jnp.float32) for _ in range(hk))
             m_fin, l_fin = jax.lax.fori_loop(0, nb, body, (m0, l0))
 
             # self term: the current token's own (quantized) K/V row
@@ -417,8 +452,8 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 qh = q_rot[h * g:(h + 1) * g, :]
                 s_self = jnp.sum(qh * k_self[h:h + 1, :], axis=-1,
                                  keepdims=True) * scale  # (g, 1)
-                m_h = m_fin[h * g:(h + 1) * g, :]
-                l_h = l_fin[h * g:(h + 1) * g, :]
+                m_h = m_fin[h]
+                l_h = l_fin[h]
                 m_new = jnp.maximum(m_h, s_self)
                 alpha = jnp.exp(m_h - m_new)
                 p_self = jnp.exp(s_self - m_new)
@@ -434,7 +469,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
         def into_res(j, acc, cfg):
             o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
             xres[:, o0:o1] = xres[:, o0:o1] + acc.astype(jnp.bfloat16)
-        stream_mm("wo", subslices(attn_ctx, cfgs["wo"]),
+        stream_mm("wo", attn_ctx[:],
                   lambda j, acc: into_res(j, acc, cfgs["wo"]))
 
         # ---- phase 5+6: ffn norm + w1n3 ------------------------------
@@ -443,7 +478,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
         def into_h2(j, acc):
             cfg = cfgs["w1n3"]
             h2[:, j * cfg.tn:(j + 1) * cfg.tn] = acc
-        stream_mm("w1n3", subslices(xn, cfgs["w1n3"]), into_h2)
+        stream_mm("w1n3", xn[:], into_h2)
 
         # ---- phase 7: GLU activation ---------------------------------
         a = h2[:, :f_dim]
@@ -457,7 +492,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
         hglu[:, :f_dim] = (av * gt).astype(jnp.bfloat16)
 
         # ---- phase 8: w2 + residual ----------------------------------
-        stream_mm("w2", subslices(hglu, cfgs["w2"]),
+        stream_mm("w2", hglu[:],
                   lambda j, acc: into_res(j, acc, cfgs["w2"]))
 
         @pl.when(l == n_layers - 1)
@@ -493,12 +528,17 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
     in_specs = [
         pl.BlockSpec((bsz, e_dim), lambda l, m: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, e_dim), lambda l, m: (l, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, e_dim), lambda l, m: (l, 0), memory_space=pltpu.VMEM),
+        # norms are (L, 1, E) with block (1, 1, E): Mosaic requires the
+        # trailing two block dims to be (8k, 128k) OR equal to the array's
+        # trailing dims — (1, E) blocks on an (L, E) array are rejected
+        pl.BlockSpec((1, 1, e_dim), lambda l, m: (l, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, e_dim), lambda l, m: (l, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((bsz, d), lambda l, m: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((bsz, d), lambda l, m: (0, 0), memory_space=pltpu.VMEM),
     ]
-    inputs = [x0, anorm, fnorm, cos, sin]
+    inputs = [x0, anorm[:, None, :], fnorm[:, None, :], cos, sin]
     for nm in ("qkv", "wo", "w1n3", "w2"):
         plane, sc, bs = weights[nm]
         in_specs.append(hbm)
