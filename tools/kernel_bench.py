@@ -41,6 +41,12 @@ def main():
                     help="also measure the int8 x int8 MXU path "
                     "(device_layout='i8mm'): parity vs f32 matmul and "
                     "effective GB/s of int8-weight streaming")
+    ap.add_argument("--mega", action="store_true",
+                    help="whole-model fused decode step "
+                    "(kernels/decode_step.py) vs the per-layer path: "
+                    "on-chip parity + ms/step at ctx 64/512/4096")
+    ap.add_argument("--mega-model", default="tinyllama-1.1b")
+    ap.add_argument("--mega-quant", default="Q4_B64T1")
     ap.add_argument("--inner-chain", action="store_true",
                     help="measure IN-JIT per-call cost: slope between 4 "
                     "and 16 kernel invocations inside one jit (requires "
@@ -184,6 +190,112 @@ def main():
             line += (f"  {t.data.nbytes / per / 1e9:7.1f} GB/s "
                      f"({per*1e3:.2f} ms)")
         print(line, flush=True)
+
+    if args.mega:
+        # whole-model fused decode step vs the per-layer path (VERDICT r2
+        # items 1-2 "done" criteria: parity + timing at several context
+        # lengths, demonstrating the per-call serialization win)
+        import dataclasses as _dc
+        from inferflow_tpu.models.zoo import make_spec, make_synthetic_params
+        from inferflow_tpu.models.decoder import decoder_layers_unrolled
+        from inferflow_tpu.runtime.kv_cache import KVCache
+        from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                       fused_step_supported)
+
+        spec = make_spec(args.mega_model)
+        hp = spec.hyper_params
+        params = make_synthetic_params(spec, weight_format=args.mega_quant,
+                                       stacked=True)
+        stacked = params["layers"]
+        rng = np.random.default_rng(2)
+
+        def filled_cache(ctx, length):
+            """Random-filled quantized cache: both paths read the SAME
+            rows, so logical consistency of the fill doesn't matter."""
+            c = KVCache.create(hp.decoder_layers, 1, ctx, hp.kv_heads,
+                               hp.head_dim, quantized=True)
+            def rnd_i8(a):
+                return jnp.asarray(rng.integers(-127, 128, a.shape),
+                                   jnp.int8)
+            def rnd_sc(a):
+                return jnp.asarray(
+                    rng.uniform(0.004, 0.012, a.shape), a.dtype)
+            return _dc.replace(
+                c, k=rnd_i8(c.k), v=rnd_i8(c.v),
+                k_scale=rnd_sc(c.k_scale), v_scale=rnd_sc(c.v_scale),
+                length=jnp.asarray([length], jnp.int32))
+
+        cache0 = filled_cache(512, 33)
+        assert fused_step_supported(spec, stacked, cache0, 1), \
+            "model not mega-eligible"
+        xin = jnp.asarray(rng.standard_normal((1, 1, hp.embd_dims)) * 0.3,
+                          jnp.bfloat16)
+
+        @jax.jit
+        def fused_once(x, cache):
+            return fused_decode_step(spec, stacked, x,
+                                     cache.length[:, None], cache)
+
+        @jax.jit
+        def layered_once(x, cache):
+            os.environ["INFERFLOW_MEGA"] = "0"
+            try:
+                return decoder_layers_unrolled(spec, stacked, x,
+                                               cache.length[:, None], cache)
+            finally:
+                os.environ["INFERFLOW_MEGA"] = "1"
+
+        for ln in (33, 500):
+            cache = filled_cache(512, ln)
+            xf, cf = fused_once(xin, cache)
+            xr, cr = layered_once(xin, cache)
+            err = norm_rmsd(np.asarray(xf, np.float32),
+                            np.asarray(xr, np.float32))
+            ok = err < args.tol
+            failures += 0 if ok else 1
+            kf, vf = cf.read_layer(hp.decoder_layers - 1, jnp.float32)
+            kr, vr = cr.read_layer(hp.decoder_layers - 1, jnp.float32)
+            kerr = norm_rmsd(np.asarray(kf[0, ln]), np.asarray(kr[0, ln]))
+            ok2 = kerr < args.tol
+            failures += 0 if ok2 else 1
+            print(f"mega parity len={ln:5d}  x norm_rmsd={err:.5f} "
+                  f"{'OK' if ok else 'FAIL'}  kv_row={kerr:.5f} "
+                  f"{'OK' if ok2 else 'FAIL'}", flush=True)
+
+        if not args.skip_perf:
+            for ctx in (64, 512, 4096):
+                cache = filled_cache(ctx, ctx - 1)
+                ln0 = cache.length
+
+                def make_step(once):
+                    @jax.jit
+                    def step(x, cache):
+                        x2, c2 = once(x, cache)
+                        # pin length so appends overwrite one row: static
+                        # shapes, constant attention cost at this ctx
+                        return x2.astype(jnp.bfloat16), c2.with_length(ln0)
+                    return step
+
+                rows = []
+                for nm, once in (("fused", fused_once),
+                                 ("layered", layered_once)):
+                    step = make_step(once)
+                    def chain(it):
+                        xx, cc = xin, cache
+                        t0 = time.time()
+                        for _ in range(it):
+                            xx, cc = step(xx, cc)
+                        np.asarray(xx[0, 0, :2])
+                        return time.time() - t0
+                    chain(4)
+                    per = min(max((chain(64) - chain(16)) / 48, 1e-9)
+                              for _ in range(3))
+                    rows.append((nm, per))
+                f_ms = rows[0][1] * 1e3
+                l_ms = rows[1][1] * 1e3
+                print(f"mega timing ctx={ctx:5d}  fused {f_ms:7.3f} ms/step"
+                      f"  layered {l_ms:7.3f} ms/step  "
+                      f"speedup {l_ms / max(f_ms, 1e-9):5.2f}x", flush=True)
 
     if args.attention:
         from inferflow_tpu.runtime.kv_cache import KVCache
