@@ -70,6 +70,8 @@ class _MM:
     signed: bool
     blk: int      # quant block (K values per scale row)
     has_base: bool
+    percol: bool = False  # int8 MXU container: one f32 scale per COLUMN,
+    #                       applied to the output tile after the dot
 
 
 def _pick_tn(kp: int, n: int) -> int:
@@ -79,7 +81,20 @@ def _pick_tn(kp: int, n: int) -> int:
     return 0
 
 
-def _mm_cfg(name: str, qt: QuantizedTensor) -> Optional[_MM]:
+def _mm_cfg(name: str, qt) -> Optional[_MM]:
+    from ..quant.codec_jax import Int8MXUTensor
+    if isinstance(qt, Int8MXUTensor):
+        # device_layout='i8mm': (K, N) int8 + per-column scale.  The
+        # unpack is one int8->bf16 convert (no shifts, no scale repeat:
+        # the column scale multiplies the (B, TN) OUTPUT), so the stream
+        # runs at the DMA rate
+        kp, n = int(qt.data.shape[-2]), int(qt.data.shape[-1])
+        if kp % 8:
+            return None
+        tn = _pick_tn(kp, n)
+        if tn == 0:
+            return None
+        return _MM(name, kp, kp, n, tn, 1, 8, True, 0, False, percol=True)
     fmt = get_format(qt.format)
     if (len(fmt.planes) != 1 or fmt.planes[0].layout != "consecutive"
             or fmt.pair_base11 or fmt.meta != "f16"):
@@ -260,6 +275,20 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 else:
                     rsh = cfg.bits * srow
 
+            # base term via block sums: the dot is linear, so
+            # sum_k x_k*(q*sc + base)[k,n] splits into the scale dot plus
+            # sum_r base[r,n] * (sum_{k in blk r} x_k) — two tiny MXU
+            # dots replace a per-weight repeat+add on the VPU
+            xsum = None
+            if cfg.has_base:
+                nbr = cfg.k_s // cfg.blk
+                rowk = jax.lax.broadcasted_iota(
+                    jnp.int32, (cfg.k_s, nbr), 0) // cfg.blk
+                colr = jax.lax.broadcasted_iota(
+                    jnp.int32, (cfg.k_s, nbr), 1)
+                sel = (rowk == colr).astype(jnp.bfloat16)
+                xsum = _dot(xv, sel).astype(jnp.bfloat16)  # (B, K/blk)
+
             def dma(j, slot):
                 # j is a static Python int: tile offsets are static slices
                 o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
@@ -285,12 +314,24 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         cp.start()
                 for cp in dma(j, slot):
                     cp.wait()
+                if cfg.percol:
+                    # int8 MXU container: direct int8->bf16 convert, one
+                    # f32 column scale on the OUTPUT tile
+                    acc = None
+                    for c0 in range(0, cfg.kp, kc):
+                        qb = wb[slot][c0:c0 + kc, :].astype(jnp.bfloat16)
+                        part = _dot(xv[:, c0:c0 + kc], qb)
+                        acc = part if acc is None else acc + part
+                    consume(j, acc * sb[slot][:])
+                    continue
                 # single-plane format: each packed sub-value is a COMPLETE
-                # code — w = q * scale[k // blk] (+ base[k // blk])
+                # code — w = q * scale[k // blk]; base handled via xsum
                 sc_small = _decode_f16_bits(sb[slot])  # (K/blk, TN) f32
-                bs_small = (_decode_f16_bits(bb[slot])
-                            if cfg.has_base else None)
                 acc = None
+                if cfg.has_base:
+                    acc = _dot(xsum,
+                               _decode_f16_bits(bb[slot]).astype(
+                                   jnp.bfloat16))
                 for c0 in range(0, cfg.kp, kc):
                     v = wb[slot][c0:c0 + kc, :].astype(jnp.int32)
                     if cfg.pk == 1:
@@ -312,9 +353,6 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                     sc = jnp.repeat(sc_small[r0:r1, :], cfg.blk,
                                     axis=0).astype(jnp.bfloat16)
                     w = qb * sc
-                    if bs_small is not None:
-                        w = w + jnp.repeat(bs_small[r0:r1, :], cfg.blk,
-                                           axis=0).astype(jnp.bfloat16)
                     part = _dot(xv[:, c0 * cfg.pk:(c0 + kc) * cfg.pk], w)
                     acc = part if acc is None else acc + part
                 consume(j, acc)
@@ -577,6 +615,10 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
     ]
     for nm in ("qkv", "wo", "w1n3", "w2"):
         cfg = cfgs[nm]
+        if cfg.percol:
+            scratch.append(pltpu.VMEM((2, cfg.kp, cfg.tn), jnp.int8))
+            scratch.append(pltpu.VMEM((2, 1, cfg.tn), jnp.float32))
+            continue
         scratch.append(pltpu.VMEM((2, cfg.kp, cfg.tn), jnp.uint8))
         scratch.append(pltpu.VMEM((2, cfg.k_s // cfg.blk, cfg.tn),
                                   jnp.uint16))
@@ -659,11 +701,12 @@ def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
     ffn = stacked.get("ffn", {})
     if "moe" in stacked:
         return False
+    from ..quant.codec_jax import Int8MXUTensor
     for grp, keys in ((attn, ("qkv", "wo")), (ffn, ("w1n3", "w2"))):
         for kk in keys:
             if kk not in grp:
                 return False
-            if not isinstance(grp[kk], QuantizedTensor):
+            if not isinstance(grp[kk], (QuantizedTensor, Int8MXUTensor)):
                 return False
             if _mm_cfg(kk, grp[kk]) is None:
                 return False
@@ -711,13 +754,18 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
         "w1n3": _mm_cfg("w1n3", ffn["w1n3"]),
         "w2": _mm_cfg("w2", ffn["w2"]),
     }
+    def _w(qt):
+        if isinstance(qt, QuantizedTensor):
+            return (qt.planes["data"], qt.scale, qt.base)
+        # Int8MXUTensor: (L, K, N) int8 + (L, N) f32 column scale,
+        # shipped as (L, 1, N) so the kernel DMAs (1, TN) tiles
+        return (qt.data, qt.scale.astype(jnp.float32)[:, None, :], None)
+
     weights = {
-        "qkv": (attn["qkv"].planes["data"], attn["qkv"].scale,
-                attn["qkv"].base),
-        "wo": (attn["wo"].planes["data"], attn["wo"].scale, attn["wo"].base),
-        "w1n3": (ffn["w1n3"].planes["data"], ffn["w1n3"].scale,
-                 ffn["w1n3"].base),
-        "w2": (ffn["w2"].planes["data"], ffn["w2"].scale, ffn["w2"].base),
+        "qkv": _w(attn["qkv"]),
+        "wo": _w(attn["wo"]),
+        "w1n3": _w(ffn["w1n3"]),
+        "w2": _w(ffn["w2"]),
     }
     f_dim = int(ffn["w2"].shape[-2])
 

@@ -82,6 +82,36 @@ def test_fused_step_matches_unrolled(model, bsz, lengths):
                 rtol=0.05, atol=0.05)
 
 
+def test_fused_step_i8mm():
+    """device_layout='i8mm' through the mega kernel: int8 weights with a
+    per-column scale applied to the output tile.  Reference is the
+    per-layer path (linear() quantizes ACTIVATIONS to int8 as well, so
+    tolerance covers that extra quantization)."""
+    spec = make_spec("test-llama")
+    spec.max_context_len = 128
+    params = make_synthetic_params(spec, weight_format="Q8_B32T2",
+                                   stacked=True, device_layout="i8mm")
+    hp = spec.hyper_params
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+    from inferflow_tpu.quant.codec_jax import Int8MXUTensor
+    stacked = params["layers"]
+    assert isinstance(stacked["attn"]["qkv"], Int8MXUTensor)
+    cache = _prefill(spec, params, 1, [9])
+    assert fused_step_supported(spec, stacked, cache, 1)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 1, hp.embd_dims)) * 0.3,
+                    jnp.bfloat16)
+    pos = cache.length[:, None]
+    ref_x, _ = decoder_layers_unrolled(spec, stacked, x, pos, cache,
+                                       use_pallas=False)
+    got_x, _ = fused_decode_step(spec, stacked, x, pos, cache,
+                                 interpret=True)
+    err = norm_rmsd(got_x, ref_x)
+    assert err < 0.05, f"i8mm hidden-state mismatch: norm_rmsd={err}"
+
+
 def test_fused_step_gating(model):
     """Unsupported shapes must be rejected, not miscomputed."""
     spec, params = model
