@@ -72,6 +72,9 @@ class _MM:
     has_base: bool
     percol: bool = False  # int8 MXU container: one f32 scale per COLUMN,
     #                       applied to the output tile after the dot
+    i4: bool = False      # native-int4 plane (codes-8 at row k): unpack
+    #                       is ONE int4->bf16 convert; +8 rides the base
+    #                       dot (see repack_i4)
 
 
 def _pick_tn(kp: int, n: int) -> int:
@@ -96,6 +99,16 @@ def _mm_cfg(name: str, qt) -> Optional[_MM]:
             return None
         return _MM(name, kp, kp, n, tn, 1, 8, True, 0, False, percol=True)
     fmt = get_format(qt.format)
+    if "data_i4" in qt.planes:
+        plane = qt.planes["data_i4"]
+        kp, n = int(plane.shape[-2]), int(plane.shape[-1])
+        if kp % fmt.block or kp % 8:
+            return None
+        tn = _pick_tn(kp // 2, n)  # int4: half a byte per row element
+        if tn == 0:
+            return None
+        return _MM(name, kp, kp, n, tn, 1, 4, True, fmt.block,
+                   fmt.base_kind != "zero", i4=True)
     if (len(fmt.planes) != 1 or fmt.planes[0].layout != "consecutive"
             or fmt.pair_base11 or fmt.meta != "f16"):
         return None
@@ -280,7 +293,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             # sum_r base[r,n] * (sum_{k in blk r} x_k) — two tiny MXU
             # dots replace a per-weight repeat+add on the VPU
             xsum = None
-            if cfg.has_base:
+            if cfg.has_base or cfg.i4:
                 nbr = cfg.k_s // cfg.blk
                 rowk = jax.lax.broadcasted_iota(
                     jnp.int32, (cfg.k_s, nbr), 0) // cfg.blk
@@ -323,6 +336,22 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         part = _dot(xv[:, c0:c0 + kc], qb)
                         acc = part if acc is None else acc + part
                     consume(j, acc * sb[slot][:])
+                    continue
+                if cfg.i4:
+                    # native int4 rows (codes-8): one convert per weight;
+                    # the +8 offset and the base both ride the xsum dot
+                    sc_small = _decode_f16_bits(sb[slot])
+                    fold = sc_small * 8.0
+                    if cfg.has_base:
+                        fold = fold + _decode_f16_bits(bb[slot])
+                    acc = _dot(xsum, fold.astype(jnp.bfloat16))
+                    for c0 in range(0, cfg.kp, kc):
+                        qb = wb[slot][c0:c0 + kc, :].astype(jnp.bfloat16)
+                        sc = jnp.repeat(
+                            sc_small[c0 // cfg.blk:(c0 + kc) // cfg.blk, :],
+                            cfg.blk, axis=0).astype(jnp.bfloat16)
+                        acc = acc + _dot(xv[:, c0:c0 + kc], qb * sc)
+                    consume(j, acc)
                     continue
                 # single-plane format: each packed sub-value is a COMPLETE
                 # code — w = q * scale[k // blk]; base handled via xsum
@@ -619,6 +648,14 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
             scratch.append(pltpu.VMEM((2, cfg.kp, cfg.tn), jnp.int8))
             scratch.append(pltpu.VMEM((2, 1, cfg.tn), jnp.float32))
             continue
+        if cfg.i4:
+            scratch.append(pltpu.VMEM((2, cfg.kp, cfg.tn), jnp.int4))
+            scratch.append(pltpu.VMEM((2, cfg.k_s // cfg.blk, cfg.tn),
+                                      jnp.uint16))
+            if cfg.has_base:
+                scratch.append(pltpu.VMEM((2, cfg.k_s // cfg.blk, cfg.tn),
+                                          jnp.uint16))
+            continue
         scratch.append(pltpu.VMEM((2, cfg.kp, cfg.tn), jnp.uint8))
         scratch.append(pltpu.VMEM((2, cfg.k_s // cfg.blk, cfg.tn),
                                   jnp.uint16))
@@ -756,7 +793,8 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
     }
     def _w(qt):
         if isinstance(qt, QuantizedTensor):
-            return (qt.planes["data"], qt.scale, qt.base)
+            plane = qt.planes.get("data", qt.planes.get("data_i4"))
+            return (plane, qt.scale, qt.base)
         # Int8MXUTensor: (L, K, N) int8 + (L, N) f32 column scale,
         # shipped as (L, 1, N) so the kernel DMAs (1, TN) tiles
         return (qt.data, qt.scale.astype(jnp.float32)[:, None, :], None)

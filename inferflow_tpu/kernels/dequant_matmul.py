@@ -554,6 +554,8 @@ def quantized_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     lead = x.shape[:-1]
     pair8 = fmt.pair_base11 and "pair8" in qt.planes
     use_pallas = (jax.default_backend() == "tpu"
+                  and "data_i4" not in qt.planes  # i4 is a decode-step
+                  # layout; prefill takes the XLA dequant (MXU-bound)
                   and _tileable(fmt, k_s, n, pair8))
     if not use_pallas:
         wd = dequantize(qt, x.dtype)
@@ -578,7 +580,8 @@ def quantized_matmul_interpret(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     fmt = get_format(qt.format)
     k, n = int(qt.shape[-2]), int(qt.shape[-1])
     k_s = storage_k(qt)
-    if not _tileable(fmt, k_s, n, fmt.pair_base11 and "pair8" in qt.planes):
+    if "data_i4" in qt.planes or not _tileable(
+            fmt, k_s, n, fmt.pair_base11 and "pair8" in qt.planes):
         wd = dequantize(qt, x.dtype)
         return jnp.matmul(x.astype(jnp.float32), wd.astype(jnp.float32)
                           ).astype(x.dtype)

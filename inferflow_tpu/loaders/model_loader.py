@@ -162,6 +162,9 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
                     return requantize_i8_colwise(qt)
                 if spec.device_layout == "q8c":
                     qt = requantize_q8_container(qt)
+                if spec.device_layout == "i4":
+                    from ..quant.codec_jax import repack_i4
+                    return repack_i4(pad_weight_for_tpu(qt))
                 return pad_weight_for_tpu(qt)
 
             if spec.delta_tensor_ratio > 0:

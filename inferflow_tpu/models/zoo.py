@@ -76,6 +76,9 @@ def _maybe_quant(w, weight_format: Optional[str], device_layout: str = ""):
     if device_layout == "q8c":
         from ..quant.codec_jax import requantize_q8_container
         qt = requantize_q8_container(qt)
+    if device_layout == "i4":
+        from ..quant.codec_jax import repack_i4
+        return repack_i4(pad_weight_for_tpu(qt))
     return pad_weight_for_tpu(qt)
 
 

@@ -184,6 +184,28 @@ def _codes_jnp(qt: QuantizedTensor, fmt: QuantFormat, npairs_or_k: int):
     return codes
 
 
+def repack_i4(qt: QuantizedTensor) -> QuantizedTensor:
+    """Device layout 'i4': re-store a 4-bit single-plane tensor's codes as
+    a NATIVE int4 array — value k at row k, code-8 so the nibble's signed
+    reinterpretation is exact.  Same HBM bytes as the byte-packed plane,
+    but the fused decode kernel's unpack collapses to one int4->bf16
+    convert (Mosaic has no strided slice, so byte-packed sub-4-bit planes
+    pay a sublane repeat + per-row variable shift).  The +8 rides the
+    linear base term: w = (q-8)*sc + (base + 8*sc) — see
+    kernels/decode_step.py stream_mm.  No-op for ineligible formats.
+    """
+    fmt = get_format(qt.format)
+    if (len(fmt.planes) != 1 or fmt.planes[0].bits != 4
+            or fmt.planes[0].layout != "consecutive" or fmt.signed
+            or "data" not in qt.planes):
+        return qt
+    k_s = int(qt.scale.shape[-2]) * fmt.block
+    q = _codes_jnp(qt, fmt, k_s)  # (K_s, N) codes 0..15
+    i4 = (q - 8).astype(jnp.int4)
+    return QuantizedTensor(qt.format, qt.shape, {"data_i4": i4},
+                           qt.scale, qt.base)
+
+
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     """Full-tensor dequantize (XLA). Mirrors codec_np.dequantize_np.
 
@@ -197,6 +219,15 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     # pads with zero-scale blocks); slice back at the end
     k_s = int(qt.scale.shape[-2]) * fmt.block
     scale = qt.scale.astype(jnp.float32)
+
+    if "data_i4" in qt.planes:
+        q = qt.planes["data_i4"].astype(jnp.float32) + 8.0
+        w = q * jnp.repeat(scale, fmt.block, axis=0)
+        if qt.base is not None:
+            w = w + jnp.repeat(qt.base.astype(jnp.float32), fmt.block,
+                               axis=0)
+        w = w.astype(dtype)
+        return w[:k] if k_s != k else w
 
     if fmt.base_kind == "zero":
         q = _codes_jnp(qt, fmt, k_s)

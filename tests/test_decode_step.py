@@ -112,6 +112,45 @@ def test_fused_step_i8mm():
     assert err < 0.05, f"i8mm hidden-state mismatch: norm_rmsd={err}"
 
 
+def test_fused_step_i4():
+    """device_layout='i4': native-int4 plane (codes-8), +8 folded into the
+    base dot.  Codec round-trip must be EXACT vs the byte-packed plane;
+    mega-kernel parity vs the per-layer path like the other layouts."""
+    from inferflow_tpu.quant.codec_jax import (quantize, dequantize,
+                                               repack_i4)
+    from inferflow_tpu.kernels.dequant_matmul import pad_weight_for_tpu
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((256, 128)) * 0.1, jnp.float32)
+    qt = pad_weight_for_tpu(quantize(w, "Q4_B64T1"))
+    qi = repack_i4(qt)
+    assert "data_i4" in qi.planes and qi.planes["data_i4"].dtype == jnp.int4
+    np.testing.assert_array_equal(
+        np.asarray(dequantize(qi, jnp.float32)),
+        np.asarray(dequantize(qt, jnp.float32)))
+
+    spec = make_spec("test-llama")
+    spec.max_context_len = 128
+    params = make_synthetic_params(spec, weight_format="Q4_B64T1",
+                                   stacked=True, device_layout="i4")
+    hp = spec.hyper_params
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+    stacked = params["layers"]
+    assert "data_i4" in stacked["attn"]["qkv"].planes
+    cache = _prefill(spec, params, 1, [11])
+    assert fused_step_supported(spec, stacked, cache, 1)
+
+    x = jnp.asarray(rng.standard_normal((1, 1, hp.embd_dims)) * 0.3,
+                    jnp.bfloat16)
+    pos = cache.length[:, None]
+    ref_x, _ = decoder_layers_unrolled(spec, stacked, x, pos, cache,
+                                       use_pallas=False)
+    got_x, _ = fused_decode_step(spec, stacked, x, pos, cache,
+                                 interpret=True)
+    err = norm_rmsd(got_x, ref_x)
+    assert err < 0.03, f"i4 hidden-state mismatch: norm_rmsd={err}"
+
+
 def test_fused_step_gating(model):
     """Unsupported shapes must be rejected, not miscomputed."""
     spec, params = model

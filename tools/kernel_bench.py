@@ -47,6 +47,8 @@ def main():
                     "on-chip parity + ms/step at ctx 64/512/4096")
     ap.add_argument("--mega-model", default="tinyllama-1.1b")
     ap.add_argument("--mega-quant", default="Q4_B64T1")
+    ap.add_argument("--mega-layout", default="",
+                    help="device layout for --mega: '', 'i4', 'q8c', 'i8mm'")
     ap.add_argument("--inner-chain", action="store_true",
                     help="measure IN-JIT per-call cost: slope between 4 "
                     "and 16 kernel invocations inside one jit (requires "
@@ -205,7 +207,8 @@ def main():
         spec = make_spec(args.mega_model)
         hp = spec.hyper_params
         params = make_synthetic_params(spec, weight_format=args.mega_quant,
-                                       stacked=True)
+                                       stacked=True,
+                                       device_layout=args.mega_layout)
         stacked = params["layers"]
         rng = np.random.default_rng(2)
 
