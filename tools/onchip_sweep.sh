@@ -24,8 +24,11 @@ run t1k python bench.py
 INFERFLOW_BENCH_CTX=4096 run t4k python bench.py
 
 # 3. device-layout A/B (bytes-for-VPU-ops trades)
+INFERFLOW_BENCH_LAYOUT=i4 run i4 python bench.py
 INFERFLOW_BENCH_LAYOUT=q8c run q8c python bench.py
 INFERFLOW_BENCH_LAYOUT=i8mm run i8mm python bench.py
+run kb_i4 python tools/kernel_bench.py --skip-perf --formats Q8_B32T2 \
+    --k 1024 --n 1024 --mega --mega-layout i4
 
 # 4. the BASELINE.md primary configs
 INFERFLOW_BENCH_MODEL=llama2-7b run 7b python bench.py
