@@ -54,6 +54,7 @@ class EngineConfig:
     multi_device_strategy: str = "by_layer"
     decoder_cpu_layer_count: int = 0
     sequence_parallel: int = 0  # >1: ring-attention prefill over 'sp'
+    pipeline_prefill: bool = False  # micro-batch pipeline over 'pp'
     encoder_cpu_layer_count: int = 0
     cpu_threads: int = 8
     return_output_tensors: bool = False
@@ -96,6 +97,7 @@ def load_engine_config(path: str, data_root_dir: str = "",
     ec.enable_perf_stat = cfg.get_bool(section, "enable_perf_stat", False)
 
     ec.sequence_parallel = cfg.get_int(section, "sequence_parallel", 0)
+    ec.pipeline_prefill = cfg.get_bool(section, "pipeline_prefill", False)
     ec.device_groups = parse_device_groups(cfg.get(section, "devices", "0"))
     ec.multi_device_strategy = strategy_from_groups(ec.device_groups)
 

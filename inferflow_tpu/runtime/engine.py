@@ -87,6 +87,7 @@ class InferenceEngine:
                  cpu_layer_count: int = 0,
                  mesh=None,
                  sequence_parallel: int = 0,
+                 pipeline_prefill: bool = False,
                  draft: Optional[tuple] = None,
                  draft_k: int = 4):
         """mesh: optional jax.sharding.Mesh with ('dp','pp','tp') axes —
@@ -110,6 +111,18 @@ class InferenceEngine:
             from ..parallel.mesh import make_sp_mesh
             mesh = make_sp_mesh(self.sp_size)
         self.mesh = mesh
+        # micro-batch pipelined prefill over 'pp' (parallel/pipeline.py):
+        # long prompts stream through the pipeline stage-by-stage instead
+        # of running the layer scan serially across ranks.  Pure-'pp'
+        # meshes only (v1).
+        self.pipe_prefill = bool(pipeline_prefill) and mesh is not None
+        if self.pipe_prefill:
+            shape = dict(mesh.shape)
+            if shape.get("pp", 1) < 2 or shape.get("dp", 1) != 1 \
+                    or shape.get("tp", 1) != 1:
+                raise ValueError("pipeline_prefill needs a pure-'pp' mesh "
+                                 f"with pp >= 2 (got {shape})")
+        self._pipe_progs: dict = {}
         if mesh is not None and (spec.host_kv_cache_percent > 0
                                  or cpu_layer_count > 0
                                  or spec.decoder_cpu_layer_count > 0):
@@ -391,6 +404,38 @@ class InferenceEngine:
         last = logits[0, length - 1, :]
         return last, tmp
 
+    def _pipeline_impl(self, params, tokens, length, *, t_pad: int):
+        """Whole-prompt pipelined prefill (parallel/pipeline.py): tokens
+        (1, t_pad) padded to a chunk multiple; returns last-token logits
+        and the pipeline temp cache ((n_chunks+1)*chunk rows — the tail
+        chunk is the pipeline's bubble-write slot, masked by length)."""
+        from ..models.decoder import embed_tokens, output_logits
+        from ..parallel.pipeline import (pipelined_chunk_prefill,
+                                         pipeline_min_context)
+        hp = self.spec.hyper_params
+        c = self.prefill_chunk
+        pos = jnp.arange(t_pad, dtype=jnp.int32)[None, :]
+        emb = embed_tokens(self.spec, params, tokens, pos)
+        tmp = KVCache.create(hp.decoder_layers, 1,
+                             pipeline_min_context(t_pad, c), hp.kv_heads,
+                             hp.head_dim, quantized=self.cache.quantized)
+        hidden, tmp = pipelined_chunk_prefill(
+            self.spec, params["layers"], emb, tmp, t_pad, c, self.mesh,
+            use_pallas=self.use_pallas)
+        last = jax.lax.dynamic_slice(
+            hidden, (0, length - 1, 0), (1, 1, hidden.shape[-1]))
+        logits = output_logits(self.spec, params, last,
+                               use_pallas=self.use_pallas)
+        return logits[0, -1, :], tmp
+
+    def _prefill_pipelined(self, padded: np.ndarray, length: int):
+        t_pad = padded.shape[1]
+        if t_pad not in self._pipe_progs:
+            self._pipe_progs[t_pad] = jax.jit(functools.partial(
+                self._pipeline_impl, t_pad=t_pad))
+        return self._pipe_progs[t_pad](self.params, self._place_rep(padded),
+                                       jnp.int32(length))
+
     def _scatter_prefill(self, slot: int, tmp: KVCache, length: int):
         """Copy a (1, bucket) temp cache into the main cache slot
         (donated: no full-cache copy per prefill)."""
@@ -428,12 +473,40 @@ class InferenceEngine:
         if pending:
             qs = pending[0]
             tokens = qs.prompt_tokens
+            use_pipeline = (self.pipe_prefill
+                            and len(tokens) > self.prefill_chunk
+                            and not self.host_kv_layers)
+            if use_pipeline:
+                c = self.prefill_chunk
+                n_chunks = _bucket(-(-len(tokens) // c), lo=1,
+                                   hi=max(self.max_context_len // c, 1))
+                if (n_chunks + 1) * c > self.max_context_len:
+                    use_pipeline = False  # no room for the bubble slot in
+                    # the scatter target; fall back to serial chunking
             use_chunked = (len(tokens) > self.prefill_chunk
+                           and not use_pipeline
                            and not self.host_kv_layers
                            and self.sp_size <= 1)  # ring mode prefills
                            # the whole prompt sharded over 'sp' instead
             from ..utils.study import TAG_LOGITS, perf_key
-            if use_chunked:
+            if use_pipeline:
+                t_pad = n_chunks * self.prefill_chunk
+                padded = np.zeros((1, t_pad), np.int32)
+                padded[0, :len(tokens)] = tokens
+                last_logits, tmp = self._prefill_pipelined(
+                    padded, len(tokens))
+                self._scatter_prefill(qs.slot, tmp, len(tokens))
+                self._lengths[qs.slot] = len(tokens)
+                row = np.asarray(last_logits, np.float32)
+                self.study.dump(TAG_LOGITS, row,
+                                name=f"prefill q{qs.query_id}")
+                tok = self.strategies.choose_token(qs.query_id, row,
+                                                   qs.prompt_tokens)
+                results.append(self._make_result(qs, tok))
+                qs.phase = DECODING
+                if self.draft is not None:
+                    self.draft.prefill(qs.slot, tokens)
+            elif use_chunked:
                 c = self.prefill_chunk
                 start = qs.prefill_pos
                 n = min(c, len(tokens) - start)
@@ -550,7 +623,8 @@ class InferenceEngine:
                   tokenizer=tok, vocab=tok.vocab if tok else None,
                   cpu_layer_count=max(config.decoder_cpu_layer_count, 0),
                   mesh=mesh,
-                  sequence_parallel=config.sequence_parallel)
+                  sequence_parallel=config.sequence_parallel,
+                  pipeline_prefill=config.pipeline_prefill)
         eng.study = StudyMode(enabled=config.is_study_mode,
                               show_tensors=config.show_tensors)
         eng.perf = PerfStat(enabled=config.enable_perf_stat)

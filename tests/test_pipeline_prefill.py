@@ -68,6 +68,35 @@ def test_pipeline_matches_serial_scan(pp, prompt_len, chunk):
         assert kerr < 0.02 and verr < 0.02, (layer, kerr, verr)
 
 
+def test_engine_pipeline_prefill_parity():
+    """ini `pipeline_prefill = true` + a pure-'pp' mesh: long prompts
+    prefill through the pipeline; greedy output must match the
+    single-device engine."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    import copy
+    from inferflow_tpu.runtime.engine import InferenceEngine
+    from inferflow_tpu.sampling.strategies import SamplingOptions
+    spec = make_spec("test-tiny", layers=4, heads=4, kv_heads=4,
+                     embd=64, inter=128, vocab=128)
+    params = make_synthetic_params(spec, weight_format="Q8_B32T1",
+                                   stacked=False)
+    ref = InferenceEngine(spec, copy.copy(params), max_concurrent_queries=2,
+                          max_context_len=64, use_pallas=False)
+    mesh = make_mesh(jax.devices()[:4], 1, 4, 1)
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          max_context_len=64, use_pallas=False, mesh=mesh,
+                          pipeline_prefill=True)
+    ref.prefill_chunk = 8
+    eng.prefill_chunk = 8
+    prompt = [3 + (i % 40) for i in range(20)]  # > chunk: pipeline path
+    a = eng.generate(prompt, SamplingOptions(strategy="greedy"),
+                     max_new_tokens=5)
+    b = ref.generate(prompt, SamplingOptions(strategy="greedy"),
+                     max_new_tokens=5)
+    assert a == b
+
+
 def test_pipeline_rejects_mixed_mesh():
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 devices")
