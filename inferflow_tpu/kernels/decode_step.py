@@ -31,7 +31,9 @@ sub-dots (see stream_mm).
 Supported (v1): decoder-only llama-family blocks — RMS pre-norms, RoPE
 (both column orders, full rotary), GQA, fused qkv/w1n3, no biases,
 single-'data'-plane quant formats (Q8_B32T1/T2, Q4_B64T1/B32T1A, Q2),
-Q8-quantized packed KV cache, batch <= 4.  Everything else falls back to
+Q8-quantized packed KV cache, batch <= 8 (the engine's default
+slot count; the per-slot attention loop and kernel body scale linearly
+with B, so the cap bounds compile time).  Everything else falls back to
 the per-layer path.
 """
 
@@ -725,7 +727,7 @@ def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
         return False
     if spec.activation_fn not in ("silu", "gelu", "relu"):
         return False
-    if bsz > 4:
+    if bsz > 8:
         return False
     if cache is None or not cache.quantized:
         return False

@@ -46,7 +46,9 @@ def _prefill(spec, params, bsz, lengths, max_len=128):
     return cache.with_length(jnp.asarray(lengths, jnp.int32))
 
 
-@pytest.mark.parametrize("bsz,lengths", [(1, [7]), (2, [5, 33])])
+@pytest.mark.parametrize("bsz,lengths",
+                         [(1, [7]), (2, [5, 33]),
+                          (5, [3, 9, 4, 2, 6])])
 def test_fused_step_matches_unrolled(model, bsz, lengths):
     spec, params = model
     hp = spec.hyper_params
@@ -164,6 +166,6 @@ def test_fused_step_gating(model):
                              hp.head_dim, quantized=False)
     assert not fused_step_supported(spec, params["layers"], cache_f, 1)
     # batch too large -> no
-    assert not fused_step_supported(spec, params["layers"], cache, 8)
+    assert not fused_step_supported(spec, params["layers"], cache, 16)
     # list (heterogeneous) layers -> no
     assert not fused_step_supported(spec, [], cache, 1)
