@@ -310,6 +310,49 @@ def _make_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int, k_tiles: int,
     return kernel
 
 
+def _make_i4_kernel(fmt: QuantFormat, tk: int, k_tiles: int, out_dtype,
+                    upcast: bool = False):
+    """Native-int4 plane (device_layout='i4', codec_jax.repack_i4): value
+    k at int4 row k as code-8.  Unpack is ONE convert; the +8 and the
+    block base fold into a per-block additive term expanded alongside
+    the scales: w = q*sc + (base + 8*sc)."""
+    has_base = fmt.base_kind != "zero"
+
+    def _dot(a, b):
+        if upcast:  # see _make_fast_kernel
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def kernel(*refs):
+        x_ref, plane_ref, scale_ref = refs[0], refs[1], refs[2]
+        base_ref = refs[3] if has_base else None
+        out_ref = refs[3 + int(has_base)]
+        acc_ref = refs[4 + int(has_base)]
+
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        sc_small = _decode_f16_bits(scale_ref[:])  # (tk/blk, tn) f32
+        fold_small = sc_small * 8.0
+        if has_base:
+            fold_small = fold_small + _decode_f16_bits(base_ref[:])
+        reps = fmt.block
+        sc = jnp.repeat(sc_small, reps, axis=0)
+        fold = jnp.repeat(fold_small, reps, axis=0)
+        q = plane_ref[:].astype(jnp.float32)
+        w = (q * sc + fold).astype(jnp.bfloat16)
+        acc_ref[:] += _dot(x_ref[:], w)
+
+        @pl.when(j == k_tiles - 1)
+        def _():
+            out_ref[:] = acc_ref[:].astype(out_dtype)
+
+    return kernel
+
+
 def _pick_tile(dim: int, target: int, unit: int) -> Optional[int]:
     """Largest t <= target with unit | t and t | dim."""
     t = min(target, dim)
@@ -321,7 +364,8 @@ def _pick_tile(dim: int, target: int, unit: int) -> Optional[int]:
     return None
 
 
-def _tk_unit(fmt: QuantFormat, pair8: bool = False) -> int:
+def _tk_unit(fmt: QuantFormat, pair8: bool = False,
+             i4: bool = False) -> int:
     """K-tile granularity = lcm of every alignment constraint:
 
     - activation sub-slice width must be a 128 (lane) multiple:
@@ -333,7 +377,10 @@ def _tk_unit(fmt: QuantFormat, pair8: bool = False) -> int:
     import math
     per = 2 if fmt.pair_base11 else 1
     units = [8 * fmt.block]  # scale/base rows
-    if pair8:
+    if i4:
+        # whole-x lane width + int4 plane rows; no sub-slices
+        units += [128, 8]
+    elif pair8:
         units += [256, 8 * 2]  # x_even/x_odd widths; byte-per-pair rows
     elif fmt.pair_base11:
         units.append(256)  # x_even/x_odd widths (generic pair kernel)
@@ -361,8 +408,9 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
 
     tm = max(16, min(256, ((m + 15) // 16) * 16))
     pair8_layout = fmt.pair_base11 and "pair8" in plane_names
+    i4_layout = "data_i4" in plane_names
     # tk == k is always alignment-safe (every sub-slice is full-width)
-    tk = _pick_tile(k, _TK_TARGET, _tk_unit(fmt, pair8_layout)) \
+    tk = _pick_tile(k, _TK_TARGET, _tk_unit(fmt, pair8_layout, i4_layout)) \
         or (k if k <= 8192 else None)
     tn = _pick_tile(n, _TN_TARGET, 128)
     m_pad = ((m + tm - 1) // tm) * tm
@@ -374,6 +422,49 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
 
     in_specs = []
     inputs = []
+    if i4_layout:
+        kernel = _make_i4_kernel(fmt, tk, k_tiles, out_dtype,
+                                 upcast=interpret)
+        in_specs.append(pl.BlockSpec((tm, tk), lambda i, nn, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(x.astype(jnp.bfloat16))
+        in_specs.append(pl.BlockSpec((tk, tn), lambda i, nn, j: (j, nn),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(planes["data_i4"])
+        meta_rows = tk // fmt.block
+        meta_spec = pl.BlockSpec((meta_rows, tn), lambda i, nn, j: (j, nn),
+                                 memory_space=pltpu.VMEM)
+
+        def _meta4(a):
+            if a.dtype == jnp.float16:
+                return jax.lax.bitcast_convert_type(a, jnp.uint16)
+            return a
+
+        in_specs.append(meta_spec)
+        inputs.append(_meta4(scale))
+        if base is not None:
+            in_specs.append(meta_spec)
+            inputs.append(_meta4(base))
+        bytes_in = sum(int(a.size) * a.dtype.itemsize for a in inputs)
+        out = pl.pallas_call(
+            kernel,
+            grid=(m_tiles, n_tiles, k_tiles),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tm, tn), lambda i, nn, j: (i, nn),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+            scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m_pad * n * k,
+                bytes_accessed=bytes_in + m_pad * n * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*inputs)
+        return out[:m] if m_pad != m else out
     if _fast_eligible(fmt):
         x_subs = _x_subslices(x.astype(jnp.bfloat16), fmt, k)
         kernel = _make_fast_kernel(fmt, tm, tk, tn, k_tiles, out_dtype,
@@ -498,8 +589,8 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
 
 
 def _tileable(fmt: QuantFormat, k: int, n: int,
-              pair8: bool = False) -> bool:
-    tk = _pick_tile(k, _TK_TARGET, _tk_unit(fmt, pair8)) \
+              pair8: bool = False, i4: bool = False) -> bool:
+    tk = _pick_tile(k, _TK_TARGET, _tk_unit(fmt, pair8, i4)) \
         or (k if k <= 8192 else None)
     return tk is not None and _pick_tile(n, _TN_TARGET, 128) is not None
 
@@ -553,10 +644,9 @@ def quantized_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     k_s = storage_k(qt)
     lead = x.shape[:-1]
     pair8 = fmt.pair_base11 and "pair8" in qt.planes
+    i4 = "data_i4" in qt.planes
     use_pallas = (jax.default_backend() == "tpu"
-                  and "data_i4" not in qt.planes  # i4 is a decode-step
-                  # layout; prefill takes the XLA dequant (MXU-bound)
-                  and _tileable(fmt, k_s, n, pair8))
+                  and _tileable(fmt, k_s, n, pair8, i4))
     if not use_pallas:
         wd = dequantize(qt, x.dtype)
         if jax.default_backend() != "tpu":
@@ -580,8 +670,9 @@ def quantized_matmul_interpret(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     fmt = get_format(qt.format)
     k, n = int(qt.shape[-2]), int(qt.shape[-1])
     k_s = storage_k(qt)
-    if "data_i4" in qt.planes or not _tileable(
-            fmt, k_s, n, fmt.pair_base11 and "pair8" in qt.planes):
+    if not _tileable(fmt, k_s, n,
+                     fmt.pair_base11 and "pair8" in qt.planes,
+                     "data_i4" in qt.planes):
         wd = dequantize(qt, x.dtype)
         return jnp.matmul(x.astype(jnp.float32), wd.astype(jnp.float32)
                           ).astype(x.dtype)

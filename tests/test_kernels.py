@@ -56,3 +56,23 @@ def test_kernel_batched_leading_dims(rng):
                      preferred_element_type=jnp.float32)
     assert got.shape == (2, 3, n)
     assert _norm_rmsd(got.astype(jnp.float32), ref) < 2e-2
+
+
+@pytest.mark.parametrize("m", [1, 5])
+def test_i4_prefill_kernel_matches_xla_dequant(m, rng):
+    """device_layout='i4' prefill path (_make_i4_kernel): the native-int4
+    plane through the Pallas matmul vs XLA dequant."""
+    from inferflow_tpu.quant.codec_jax import quantize, repack_i4
+    from inferflow_tpu.kernels.dequant_matmul import pad_weight_for_tpu
+    k, n = 256, 256
+    w = jnp.asarray(rng.standard_normal((k, n), dtype=np.float32) * 0.1)
+    qi = repack_i4(pad_weight_for_tpu(quantize(w, "Q4_B64T1")))
+    assert "data_i4" in qi.planes
+
+    x = jnp.asarray(rng.standard_normal((m, k), dtype=np.float32) * 0.2,
+                    jnp.bfloat16)
+    ref = jnp.matmul(x.astype(jnp.float32),
+                     dequantize(qi, jnp.float32))
+    got = quantized_matmul_interpret(x, qi)
+    assert got.shape == (m, n)
+    assert _norm_rmsd(got.astype(jnp.float32), ref) < 2e-2
