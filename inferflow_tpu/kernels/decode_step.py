@@ -29,8 +29,10 @@ vector shift (sublane iota % pk); one full-K dot replaces the pk
 sub-dots (see stream_mm).
 
 Supported (v1): decoder-only llama-family blocks — RMS pre-norms, RoPE
-(both column orders, full rotary), GQA, fused qkv/w1n3, no biases,
-single-'data'-plane quant formats (Q8_B32T1/T2, Q4_B64T1/B32T1A, Q2),
+(both column orders, full rotary), GQA, fused qkv/w1n3,
+single-'data'-plane quant formats (Q8_B32T1/T2, Q4_B64T1/B32T1A, Q2)
+plus the i4/i8mm device layouts, optional per-matmul output biases
+(qwen-family fused qkv bias),
 Q8-quantized packed KV cache, batch <= 8 (the engine's default
 slot count; the per-slot attention loop and kernel body scale linearly
 with B, so the cap bounds compile time).  Everything else falls back to
@@ -177,7 +179,7 @@ def _rmsnorm(x, w, eps: float):
 
 def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                  kv_blk, ts, f_dim, w2_ks, eps, scale, act, order,
-                 upcast=False):
+                 biased=frozenset(), upcast=False):
     """cfgs: dict name -> _MM for qkv/wo/w1n3/w2."""
 
     def _dot(a, b):
@@ -209,6 +211,14 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             if cfg.has_base:
                 bs = refs[idx]; idx += 1
             w_refs[nm] = (plane, sc, bs)
+        b_refs = {}
+        for nm in mm_names:
+            # per-matmul OUTPUT bias (qwen-family fused qkv bias etc.):
+            # (L, 1, N) f32, auto-blocked per layer
+            if nm in biased:
+                b_refs[nm] = refs[idx]; idx += 1
+            else:
+                b_refs[nm] = None
         k_hbm = refs[idx]; idx += 1
         v_hbm = refs[idx]; idx += 1
         ks_hbm = refs[idx]; idx += 1
@@ -280,6 +290,12 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             ntiles = cfg.n // cfg.tn
             kc = _pick_chunk(cfg)
             mask = (1 << cfg.bits) - 1
+            br = b_refs[nm]
+
+            def finish(j, acc):
+                if br is not None:
+                    acc = acc + br[0, :, j * cfg.tn:(j + 1) * cfg.tn]
+                consume(j, acc)
 
             # per-row sub index / shift amounts, shared by all tiles
             if cfg.pk > 1:
@@ -337,7 +353,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         qb = wb[slot][c0:c0 + kc, :].astype(jnp.bfloat16)
                         part = _dot(xv[:, c0:c0 + kc], qb)
                         acc = part if acc is None else acc + part
-                    consume(j, acc * sb[slot][:])
+                    finish(j, acc * sb[slot][:])
                     continue
                 if cfg.i4:
                     # native int4 rows (codes-8): one convert per weight;
@@ -353,7 +369,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                             sc_small[c0 // cfg.blk:(c0 + kc) // cfg.blk, :],
                             cfg.blk, axis=0).astype(jnp.bfloat16)
                         acc = acc + _dot(xv[:, c0:c0 + kc], qb * sc)
-                    consume(j, acc)
+                    finish(j, acc)
                     continue
                 # single-plane format: each packed sub-value is a COMPLETE
                 # code — w = q * scale[k // blk]; base handled via xsum
@@ -386,7 +402,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                     w = qb * sc
                     part = _dot(xv[:, c0 * cfg.pk:(c0 + kc) * cfg.pk], w)
                     acc = part if acc is None else acc + part
-                consume(j, acc)
+                finish(j, acc)
 
         # ---- phase 1: attn norm + qkv --------------------------------
         xn[:] = _rmsnorm(xres[:], anorm_ref[0], eps)  # [0] -> (1, E)
@@ -580,7 +596,7 @@ def _u16(a):
 def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
                            cache_k, cache_v, cache_ks, cache_vs, cfgs, *,
                            n_layers, hq, hk, d, eps, scale, act, order,
-                           f_dim, interpret=False):
+                           f_dim, biases=None, interpret=False):
     """Build and invoke the pallas_call (non-jit; wrap in jit upstream)."""
     bsz, e_dim = x0.shape
     _, _, h, s_packed, dp = cache_k.shape
@@ -617,6 +633,14 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
         if cfgs[nm].has_base:
             in_specs.append(hbm)
             inputs.append(_u16(bs))
+    biases = biases or {}
+    biased = frozenset(nm for nm, b in biases.items() if b is not None)
+    for nm in ("qkv", "wo", "w1n3", "w2"):
+        if nm in biased:
+            nb = cfgs[nm].n
+            in_specs.append(pl.BlockSpec((1, 1, nb), lambda l, m: (l, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(biases[nm].astype(jnp.float32)[:, None, :])
     for arr in (cache_k, cache_v, _u16(cache_ks), _u16(cache_vs)):
         in_specs.append(hbm)
         inputs.append(arr)
@@ -678,7 +702,7 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
         cfgs, n_layers=n_layers, bsz=bsz, e_dim=e_dim, hq=hq, hk=hk, d=d,
         s_packed=s_packed, pf=pf, kv_blk=kv_blk, ts=ts, f_dim=f_dim,
         w2_ks=w2_ks, eps=eps, scale=scale, act=act, order=order,
-        upcast=interpret)
+        biased=biased, upcast=interpret)
 
     wbytes = sum(int(a.size) * a.dtype.itemsize
                  for nm in ("qkv", "wo", "w1n3", "w2")
@@ -749,8 +773,9 @@ def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
                 return False
             if _mm_cfg(kk, grp[kk]) is None:
                 return False
-            if f"{kk}_b" in grp:
-                return False
+            bias = grp.get(f"{kk}_b")
+            if bias is not None and getattr(bias, "ndim", 0) != 2:
+                return False  # must be layer-stacked (L, N)
     if "pre_norm" not in attn or "pre_norm" not in ffn:
         return False
     if "post_norm" in attn or "post_norm" in ffn:
@@ -807,6 +832,12 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
         "w1n3": _w(ffn["w1n3"]),
         "w2": _w(ffn["w2"]),
     }
+    biases = {
+        "qkv": attn.get("qkv_b"),
+        "wo": attn.get("wo_b"),
+        "w1n3": ffn.get("w1n3_b"),
+        "w2": ffn.get("w2_b"),
+    }
     f_dim = int(ffn["w2"].shape[-2])
 
     meta = cache.length.astype(jnp.int32)
@@ -824,7 +855,7 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
         weights, cache.k, cache.v, ks, vs, cfgs,
         n_layers=n_layers, hq=hq, hk=hk, d=d, eps=spec.norm_eps,
         scale=scale, act=spec.activation_fn, order=spec.rope_order,
-        f_dim=f_dim, interpret=interpret)
+        f_dim=f_dim, biases=biases, interpret=interpret)
 
     cache = append_rows_all_layers(
         cache, k_new.reshape(n_layers, bsz, hk, d),

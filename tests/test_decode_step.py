@@ -169,3 +169,37 @@ def test_fused_step_gating(model):
     assert not fused_step_supported(spec, params["layers"], cache, 16)
     # list (heterogeneous) layers -> no
     assert not fused_step_supported(spec, [], cache, 1)
+
+
+def test_fused_step_biases():
+    """Per-matmul output biases (qwen-family fused qkv bias) through the
+    mega kernel, parity vs the per-layer path."""
+    spec = make_spec("test-llama")
+    spec.max_context_len = 128
+    params = make_synthetic_params(spec, weight_format="Q4_B64T1",
+                                   stacked=True)
+    hp = spec.hyper_params
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+    stacked = {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in params["layers"].items()}
+    rng = np.random.default_rng(11)
+    L = hp.decoder_layers
+    nq = int(stacked["attn"]["qkv"].shape[-1])
+    n2 = int(stacked["ffn"]["w2"].shape[-1])
+    stacked["attn"]["qkv_b"] = jnp.asarray(
+        rng.standard_normal((L, nq)) * 0.05, jnp.float32)
+    stacked["ffn"]["w2_b"] = jnp.asarray(
+        rng.standard_normal((L, n2)) * 0.05, jnp.float32)
+    cache = _prefill(spec, dict(params, layers=stacked), 1, [13])
+    assert fused_step_supported(spec, stacked, cache, 1)
+
+    x = jnp.asarray(rng.standard_normal((1, 1, hp.embd_dims)) * 0.3,
+                    jnp.bfloat16)
+    pos = cache.length[:, None]
+    ref_x, _ = decoder_layers_unrolled(spec, stacked, x, pos, cache,
+                                       use_pallas=False)
+    got_x, _ = fused_decode_step(spec, stacked, x, pos, cache,
+                                 interpret=True)
+    err = norm_rmsd(got_x, ref_x)
+    assert err < 0.03, f"biased hidden-state mismatch: norm_rmsd={err}"
