@@ -179,8 +179,10 @@ def _rmsnorm(x, w, eps: float):
 
 def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                  kv_blk, ts, f_dim, w2_ks, eps, scale, act, order,
-                 biased=frozenset(), upcast=False):
-    """cfgs: dict name -> _MM for qkv/wo/w1n3/w2."""
+                 biased=frozenset(), moe=None, upcast=False):
+    """cfgs: dict name -> _MM for qkv/wo/w1n3/w2 (for MoE models w1n3/w2
+    describe ONE expert; their planes carry an extra expert axis).
+    moe: None or (n_exp, top_k, norm_topk) — routed in-kernel FFN."""
 
     def _dot(a, b):
         # upcast=True in interpret mode: this CPU backend rejects
@@ -202,6 +204,9 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
         fnorm_ref = refs[idx]; idx += 1
         cos_ref = refs[idx]; idx += 1
         sin_ref = refs[idx]; idx += 1
+        gate_ref = None
+        if moe is not None:
+            gate_ref = refs[idx]; idx += 1      # (1, Ed, nE) bf16
         w_refs = {}
         for nm in mm_names:
             cfg = cfgs[nm]
@@ -280,9 +285,10 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 kc //= 2
             return kc
 
-        def stream_mm(nm, xv, consume):
+        def stream_mm(nm, xv, consume, expert=None):
             """xv: (B, K) bf16 activations; consume(j, acc) applies the
-            (B, TN) f32 tile j."""
+            (B, TN) f32 tile j.  expert: optional traced scalar selecting
+            the expert slab of an (L, E, ...) plane (routed MoE)."""
             cfg = cfgs[nm]
             plane_ref, sc_ref, bs_ref = w_refs[nm]
             wb, sb, bb = wbufs[nm]
@@ -323,16 +329,21 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             def dma(j, slot):
                 # j is a static Python int: tile offsets are static slices
                 o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
+                if expert is None:
+                    pr = plane_ref.at[l, :, o0:o1]
+                    sr = sc_ref.at[l, :, o0:o1]
+                else:
+                    pr = plane_ref.at[l, expert, :, o0:o1]
+                    sr = sc_ref.at[l, expert, :, o0:o1]
                 cps = [pltpu.make_async_copy(
-                    plane_ref.at[l, :, o0:o1],
-                    wb.at[slot], wsems.at[mi, slot, 0]),
+                    pr, wb.at[slot], wsems.at[mi, slot, 0]),
                     pltpu.make_async_copy(
-                    sc_ref.at[l, :, o0:o1],
-                    sb.at[slot], wsems.at[mi, slot, 1])]
+                    sr, sb.at[slot], wsems.at[mi, slot, 1])]
                 if cfg.has_base:
+                    br_ = (bs_ref.at[l, :, o0:o1] if expert is None
+                           else bs_ref.at[l, expert, :, o0:o1])
                     cps.append(pltpu.make_async_copy(
-                        bs_ref.at[l, :, o0:o1],
-                        bb.at[slot], wsems.at[mi, slot, 2]))
+                        br_, bb.at[slot], wsems.at[mi, slot, 2]))
                 return cps
 
             for cp in dma(0, 0):
@@ -560,25 +571,68 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
         # ---- phase 5+6: ffn norm + w1n3 ------------------------------
         xn[:] = _rmsnorm(xres[:], fnorm_ref[0], eps)
 
-        def into_h2(j, acc):
-            cfg = cfgs["w1n3"]
-            h2[:, j * cfg.tn:(j + 1) * cfg.tn] = acc
-        stream_mm("w1n3", xn[:], into_h2)
+        def _glu(a, gt):
+            if act == "silu":
+                av = a * jax.lax.logistic(a)
+            elif act == "gelu":
+                av = jax.nn.gelu(a)
+            else:  # relu
+                av = jnp.maximum(a, 0.0)
+            return (av * gt).astype(jnp.bfloat16)
 
-        # ---- phase 7: GLU activation ---------------------------------
-        a = h2[:, :f_dim]
-        gt = h2[:, f_dim:]
-        if act == "silu":
-            av = a * jax.lax.logistic(a)
-        elif act == "gelu":
-            av = jax.nn.gelu(a)
-        else:  # relu
-            av = jnp.maximum(a, 0.0)
-        hglu[:, :f_dim] = (av * gt).astype(jnp.bfloat16)
+        if moe is None:
+            def into_h2(j, acc):
+                cfg = cfgs["w1n3"]
+                h2[:, j * cfg.tn:(j + 1) * cfg.tn] = acc
+            stream_mm("w1n3", xn[:], into_h2)
 
-        # ---- phase 8: w2 + residual ----------------------------------
-        stream_mm("w2", hglu[:],
-                  lambda j, acc: into_res(j, acc, cfgs["w2"]))
+            # ---- phase 7: GLU activation -----------------------------
+            hglu[:, :f_dim] = _glu(h2[:, :f_dim], h2[:, f_dim:])
+
+            # ---- phase 8: w2 + residual ------------------------------
+            stream_mm("w2", hglu[:],
+                      lambda j, acc: into_res(j, acc, cfgs["w2"]))
+        else:
+            # ---- routed MoE FFN (Mixtral family) ---------------------
+            # gate + softmax + per-slot top-k IN-kernel; each selected
+            # expert's w1n3/w2 stream by dynamic expert index — HBM
+            # bytes/step scale with top_k/E (the reference routes on
+            # host with a device round-trip, inference_worker.cc:
+            # 1924-2146; here routing never leaves the kernel)
+            n_exp, top_k, norm_topk = moe
+            logits = _dot(xn[:], gate_ref[0])  # (B, nE) f32
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            ex = jnp.exp(logits - mx)
+            probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+            iota_e = jax.lax.broadcasted_iota(jnp.int32, (1, n_exp), 1)
+            for b in range(bsz):
+                masked = probs[b:b + 1, :]
+                sel = []
+                for _ in range(top_k):
+                    e_j = jnp.argmax(masked[0, :]).astype(jnp.int32)
+                    v_j = jnp.max(masked)
+                    sel.append((e_j, v_j))
+                    masked = jnp.where(iota_e == e_j, -jnp.inf, masked)
+                tot = sum(v for _, v in sel)
+                xb = xn[b:b + 1, :]
+                for e_j, v_raw in sel:
+                    v_j = v_raw / tot if norm_topk else v_raw
+
+                    def into_h2b(j, acc):
+                        cfg = cfgs["w1n3"]
+                        h2[b:b + 1, j * cfg.tn:(j + 1) * cfg.tn] = acc
+                    stream_mm("w1n3", xb, into_h2b, expert=e_j)
+                    hglu[b:b + 1, :f_dim] = _glu(h2[b:b + 1, :f_dim],
+                                                 h2[b:b + 1, f_dim:])
+
+                    def into_res_b(j, acc, v=v_j):
+                        cfg = cfgs["w2"]
+                        o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
+                        xres[b:b + 1, o0:o1] = (
+                            xres[b:b + 1, o0:o1]
+                            + (acc * v).astype(jnp.bfloat16))
+                    stream_mm("w2", hglu[b:b + 1, :], into_res_b,
+                              expert=e_j)
 
         @pl.when(l == n_layers - 1)
         def _():
@@ -596,7 +650,8 @@ def _u16(a):
 def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
                            cache_k, cache_v, cache_ks, cache_vs, cfgs, *,
                            n_layers, hq, hk, d, eps, scale, act, order,
-                           f_dim, biases=None, interpret=False):
+                           f_dim, biases=None, gate=None, moe=None,
+                           interpret=False):
     """Build and invoke the pallas_call (non-jit; wrap in jit upstream)."""
     bsz, e_dim = x0.shape
     _, _, h, s_packed, dp = cache_k.shape
@@ -624,6 +679,12 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
         pl.BlockSpec((bsz, d), lambda l, m: (0, 0), memory_space=pltpu.VMEM),
     ]
     inputs = [x0, anorm[:, None, :], fnorm[:, None, :], cos, sin]
+    if moe is not None:
+        n_exp = moe[0]
+        in_specs.append(pl.BlockSpec((1, e_dim, n_exp),
+                                     lambda l, m: (l, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(gate.astype(jnp.bfloat16))
     for nm in ("qkv", "wo", "w1n3", "w2"):
         plane, sc, bs = weights[nm]
         in_specs.append(hbm)
@@ -702,7 +763,7 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
         cfgs, n_layers=n_layers, bsz=bsz, e_dim=e_dim, hq=hq, hk=hk, d=d,
         s_packed=s_packed, pf=pf, kv_blk=kv_blk, ts=ts, f_dim=f_dim,
         w2_ks=w2_ks, eps=eps, scale=scale, act=act, order=order,
-        biased=biased, upcast=interpret)
+        biased=biased, moe=moe, upcast=interpret)
 
     wbytes = sum(int(a.size) * a.dtype.itemsize
                  for nm in ("qkv", "wo", "w1n3", "w2")
@@ -761,9 +822,30 @@ def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
     if _pick_ts(cache.k.shape[3]) == 0:
         return False
     attn = stacked.get("attn", {})
-    ffn = stacked.get("ffn", {})
-    if "moe" in stacked:
-        return False
+    moe = stacked.get("moe")
+    if moe is not None:
+        # routed MoE FFN (Mixtral family): homogeneous expert stack,
+        # dense gate, no shared experts (DeepSeek's dense-first-layer
+        # models are heterogeneous lists and never reach here anyway)
+        if "ffn" in stacked or moe.get("shared"):
+            return False
+        ffn = moe.get("experts_stacked") or {}
+        gate = moe.get("gate")
+        if gate is None or isinstance(gate, QuantizedTensor) \
+                or getattr(gate, "ndim", 0) != 3:
+            return False
+        if "gate_b" in moe:
+            return False
+        n_exp = int(gate.shape[-1])
+        top_k = hp.moe_top_k or 2
+        if not (1 <= top_k <= min(4, n_exp)):
+            return False
+        if "pre_norm" not in moe or moe["pre_norm"].ndim != 2:
+            return False
+    else:
+        ffn = stacked.get("ffn", {})
+        if "pre_norm" not in ffn or ffn["pre_norm"].ndim != 2:
+            return False
     from ..quant.codec_jax import Int8MXUTensor
     for grp, keys in ((attn, ("qkv", "wo")), (ffn, ("w1n3", "w2"))):
         for kk in keys:
@@ -776,12 +858,10 @@ def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
             bias = grp.get(f"{kk}_b")
             if bias is not None and getattr(bias, "ndim", 0) != 2:
                 return False  # must be layer-stacked (L, N)
-    if "pre_norm" not in attn or "pre_norm" not in ffn:
-        return False
+    if "pre_norm" not in attn or attn["pre_norm"].ndim != 2:
+        return False  # must be layer-stacked (L, E)
     if "post_norm" in attn or "post_norm" in ffn:
         return False
-    if attn["pre_norm"].ndim != 2 or ffn["pre_norm"].ndim != 2:
-        return False  # must be layer-stacked (L, E)
     if spec.qkv_format != 1:
         return False
     # w1n3 GLU split must be clean: N == 2 * F and w2 K >= F
@@ -805,7 +885,18 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
 
     hp = spec.hyper_params
     attn = stacked["attn"]
-    ffn = stacked["ffn"]
+    moe_tree = stacked.get("moe")
+    if moe_tree is not None:
+        ffn = moe_tree["experts_stacked"]
+        fnorm_src = moe_tree["pre_norm"]
+        gate = moe_tree["gate"]
+        moe = (int(gate.shape[-1]), hp.moe_top_k or 2,
+               bool(hp.moe_norm_top_k_prob))
+    else:
+        ffn = stacked["ffn"]
+        fnorm_src = ffn["pre_norm"]
+        gate = None
+        moe = None
     bsz = x.shape[0]
     e_dim = x.shape[-1]
     d = hp.head_dim
@@ -850,12 +941,13 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
     x_out, k_new, v_new = fused_decode_step_call(
         meta, x[:, 0].astype(jnp.bfloat16),
         attn["pre_norm"].astype(jnp.bfloat16),
-        ffn["pre_norm"].astype(jnp.bfloat16),
+        fnorm_src.astype(jnp.bfloat16),
         cos.astype(jnp.float32), sin.astype(jnp.float32),
         weights, cache.k, cache.v, ks, vs, cfgs,
         n_layers=n_layers, hq=hq, hk=hk, d=d, eps=spec.norm_eps,
         scale=scale, act=spec.activation_fn, order=spec.rope_order,
-        f_dim=f_dim, biases=biases, interpret=interpret)
+        f_dim=f_dim, biases=biases, gate=gate, moe=moe,
+        interpret=interpret)
 
     cache = append_rows_all_layers(
         cache, k_new.reshape(n_layers, bsz, hk, d),

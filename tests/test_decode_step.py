@@ -203,3 +203,33 @@ def test_fused_step_biases():
                                  interpret=True)
     err = norm_rmsd(got_x, ref_x)
     assert err < 0.03, f"biased hidden-state mismatch: norm_rmsd={err}"
+
+
+def test_fused_step_moe_routed():
+    """Routed MoE FFN inside the mega kernel (Mixtral family): in-kernel
+    gate + softmax + per-slot top-k + dynamic-expert weight DMA, parity
+    vs the per-layer routed path."""
+    # test-moe's default embd=64 is below the kernel's 128-lane minimum
+    # output tile; real MoE models (Mixtral E=4096) are far above it
+    spec = make_spec("test-moe", embd=128, inter=256)
+    spec.max_context_len = 128
+    params = make_synthetic_params(spec, weight_format="Q8_B32T2",
+                                   stacked=True)
+    hp = spec.hyper_params
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+    stacked = params["layers"]
+    assert "moe" in stacked and "experts_stacked" in stacked["moe"]
+    rng = np.random.default_rng(5)
+    for bsz, lengths in ((1, [9]), (2, [4, 21])):
+        cache = _prefill(spec, params, bsz, lengths)
+        assert fused_step_supported(spec, stacked, cache, bsz)
+        x = jnp.asarray(rng.standard_normal((bsz, 1, hp.embd_dims)) * 0.3,
+                        jnp.bfloat16)
+        pos = cache.length[:, None]
+        ref_x, _ = decoder_layers_unrolled(spec, stacked, x, pos, cache,
+                                           use_pallas=False)
+        got_x, _ = fused_decode_step(spec, stacked, x, pos, cache,
+                                     interpret=True)
+        err = norm_rmsd(got_x, ref_x)
+        assert err < 0.03, f"moe b{bsz} mismatch: norm_rmsd={err}"
