@@ -36,6 +36,13 @@ CONFIGS = {
                          inter=14336, vocab=32000, experts=8, moe_top_k=2),
     "test-moe": dict(layers=2, embd=64, heads=4, kv_heads=4, inter=128,
                      vocab=256, experts=4, moe_top_k=2),
+    # Mixtral layer geometry at a depth that fits one 16GB v5e chip at
+    # 4-bit (~3.4GB): the on-chip routed-MoE decode bench —
+    # INFERFLOW_BENCH_MODEL=mixtral-scaled — shows bytes/step ∝ top_k/E
+    # without needing the full 32-layer model
+    "mixtral-scaled": dict(layers=4, embd=4096, heads=32, kv_heads=8,
+                           inter=14336, vocab=32000, experts=8,
+                           moe_top_k=2),
     # GQA llama-shaped, large enough for the fused whole-model decode
     # kernel's tiling (kernels/decode_step.py: every matmul N % 128 == 0)
     "test-llama": dict(layers=3, embd=256, heads=8, kv_heads=2, inter=512,
