@@ -34,4 +34,7 @@ run kb_i4 python tools/kernel_bench.py --skip-perf --formats Q8_B32T2 \
 INFERFLOW_BENCH_MODEL=llama2-7b run 7b python bench.py
 INFERFLOW_BENCH_MODEL=llama2-13b SWEEP_TIMEOUT=3600 run 13b python bench.py
 
+# 5. routed-MoE decode: bytes/step must scale with top_k/E, not E
+INFERFLOW_BENCH_MODEL=mixtral-scaled run moe python bench.py
+
 echo "sweep complete $(date +%H:%M:%S)"
