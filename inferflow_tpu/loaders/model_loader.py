@@ -129,7 +129,9 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
     leaf = path[-1]
     if arr.ndim == 2 and transpose:
         arr = np.ascontiguousarray(arr.T)
-    if leaf == "lm_head" and spec.normalize_lm_head and arr.ndim == 2:
+    if leaf == "lm_head" and arr.ndim == 2 \
+            and (spec.normalize_lm_head
+                 or getattr(spec, "_normalize_lm_head_at_load", False)):
         # Baichuan2: L2-normalize each vocab unit of the head at LOAD time,
         # before quantization (the reference normalizes the fp16/fp32 host
         # tensor in BuildHostNetwork, network_builder.cc:439-444) — this is
@@ -255,8 +257,11 @@ def load_model(spec: ModelSpec, model_dir: Optional[str] = None,
             "unmapped checkpoint tensors: %s", unmapped[:20])
     if spec.normalize_lm_head and "lm_head" in params:
         # applied at load by _prepare_tensor; clear so output_logits
-        # doesn't normalize a second time
+        # doesn't normalize a second time.  The private marker keeps a
+        # SECOND load_model() with the same spec object normalizing at
+        # load (clearing alone silently skipped it)
         spec.normalize_lm_head = False
+        spec._normalize_lm_head_at_load = True
     return finalize_params(spec, params, unmapped=unmapped)
 
 

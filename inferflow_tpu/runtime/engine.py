@@ -115,8 +115,11 @@ class InferenceEngine:
         # long prompts stream through the pipeline stage-by-stage instead
         # of running the layer scan serially across ranks.  Pure-'pp'
         # meshes only (v1).
-        self.pipe_prefill = bool(pipeline_prefill) and mesh is not None
+        self.pipe_prefill = bool(pipeline_prefill)
         if self.pipe_prefill:
+            if mesh is None:
+                raise ValueError("pipeline_prefill needs a device group "
+                                 "(ini `devices = 0;1;...`)")
             shape = dict(mesh.shape)
             if shape.get("pp", 1) < 2 or shape.get("dp", 1) != 1 \
                     or shape.get("tp", 1) != 1:
@@ -436,6 +439,19 @@ class InferenceEngine:
         return self._pipe_progs[t_pad](self.params, self._place_rep(padded),
                                        jnp.int32(length))
 
+    def _finish_prefill(self, qs, row: np.ndarray, results: list,
+                        tokens) -> None:
+        """Shared epilogue of every prefill path: record logits, choose
+        the first token, flip the query to DECODING, seed the draft."""
+        from ..utils.study import TAG_LOGITS
+        self.study.dump(TAG_LOGITS, row, name=f"prefill q{qs.query_id}")
+        tok = self.strategies.choose_token(qs.query_id, row,
+                                           qs.prompt_tokens)
+        results.append(self._make_result(qs, tok))
+        qs.phase = DECODING
+        if self.draft is not None:
+            self.draft.prefill(qs.slot, tokens)
+
     def _scatter_prefill(self, slot: int, tmp: KVCache, length: int):
         """Copy a (1, bucket) temp cache into the main cache slot
         (donated: no full-cache copy per prefill)."""
@@ -497,18 +513,15 @@ class InferenceEngine:
                     padded, len(tokens))
                 self._scatter_prefill(qs.slot, tmp, len(tokens))
                 self._lengths[qs.slot] = len(tokens)
-                row = np.asarray(last_logits, np.float32)
-                self.study.dump(TAG_LOGITS, row,
-                                name=f"prefill q{qs.query_id}")
-                tok = self.strategies.choose_token(qs.query_id, row,
-                                                   qs.prompt_tokens)
-                results.append(self._make_result(qs, tok))
-                qs.phase = DECODING
-                if self.draft is not None:
-                    self.draft.prefill(qs.slot, tokens)
+                self._finish_prefill(qs, np.asarray(last_logits, np.float32),
+                                     results, tokens)
             elif use_chunked:
                 c = self.prefill_chunk
                 start = qs.prefill_pos
+                if start == 0:
+                    self.cache = self.cache.with_length(
+                        self.cache.length.at[qs.slot].set(
+                            self.max_context_len - 1))
                 n = min(c, len(tokens) - start)
                 chunk = np.zeros((1, c), np.int32)
                 chunk[0, :n] = tokens[start:start + n]
@@ -522,15 +535,9 @@ class InferenceEngine:
                     self.cache = self.cache.with_length(
                         self.cache.length.at[qs.slot].set(len(tokens)))
                     self._lengths[qs.slot] = len(tokens)
-                    row = np.asarray(logits, np.float32)[n - 1]
-                    self.study.dump(TAG_LOGITS, row,
-                                    name=f"prefill q{qs.query_id}")
-                    tok = self.strategies.choose_token(qs.query_id, row,
-                                                       qs.prompt_tokens)
-                    results.append(self._make_result(qs, tok))
-                    qs.phase = DECODING
-                    if self.draft is not None:
-                        self.draft.prefill(qs.slot, tokens)
+                    self._finish_prefill(
+                        qs, np.asarray(logits, np.float32)[n - 1],
+                        results, tokens)
             else:
                 bucket = _bucket(len(tokens), hi=self.max_context_len)
                 padded = np.zeros((1, bucket), np.int32)
@@ -545,15 +552,8 @@ class InferenceEngine:
                         jnp.int32(len(tokens)), bucket=bucket)
                 self._scatter_prefill(qs.slot, tmp, len(tokens))
                 self._lengths[qs.slot] = len(tokens)
-                row = np.asarray(last_logits, np.float32)
-                self.study.dump(TAG_LOGITS, row,
-                                name=f"prefill q{qs.query_id}")
-                tok = self.strategies.choose_token(qs.query_id, row,
-                                                  qs.prompt_tokens)
-                results.append(self._make_result(qs, tok))
-                qs.phase = DECODING
-                if self.draft is not None:
-                    self.draft.prefill(qs.slot, tokens)
+                self._finish_prefill(qs, np.asarray(last_logits, np.float32),
+                                     results, tokens)
             self.perf_stat["prefill_ms"] = (time.time() - t0) * 1e3
             self.perf.add(perf_key(-1, 1), self.perf_stat["prefill_ms"])
 
@@ -562,9 +562,19 @@ class InferenceEngine:
             decoding = [q for q in self.table.decoding()
                         if not any(r.query_id == q.query_id
                                    for r in results)]
-        if decoding and self.draft is not None and all(
-                (q.sampling.strategy or "greedy") in ("greedy", "")
-                for q in decoding):
+        spec_ok = decoding and self.draft is not None and all(
+            (q.sampling.strategy or "greedy") in ("greedy", "")
+            for q in decoding)
+        if spec_ok:
+            with self._lock:
+                # a slot mid-chunked-prefill is parked at max_context-1;
+                # k+1-row verify writes would clamp-shift into history
+                spec_ok = not self.table.prefill_pending()
+            k1 = self.draft.k + 1
+            spec_ok = spec_ok and all(
+                len(q.prompt_tokens) + len(q.generated) + k1
+                <= self.max_context_len for q in decoding)
+        if spec_ok:
             # speculative round: 1..k+1 tokens per slot, greedy-identical
             t1 = time.time()
             from .spec_decode import speculative_round

@@ -87,21 +87,22 @@ class DraftWorker:
             jnp.asarray(lengths, jnp.int32))
 
     def prefill(self, slot: int, tokens: List[int]) -> None:
-        """Consume a new query's prompt into the draft cache (slot rows
-        [0, len)); other slots advance by 0 (their garbage rows sit beyond
-        their lengths and are overwritten before ever being read)."""
-        b = self.cache.length.shape[0]
-        t = np.zeros((b, len(tokens)), np.int32)
-        t[slot, :] = tokens
-        adv = np.zeros((b,), np.int32)
-        adv[slot] = len(tokens)
-        # the prefill must start at row 0 even if the slot held an earlier
-        # (finished) query
-        lens = self.lengths()
-        lens[slot] = 0
-        self.set_lengths(lens)
-        _, self.cache = self._chunk(self.params, jnp.asarray(t), self.cache,
-                                    jnp.asarray(adv))
+        """Consume a new query's prompt into the draft cache: a (1, T)
+        forward into a temp cache, scattered into the slot — NOT a
+        (max_slots, T) batch (which paid max_slots x the prefill FLOPs
+        and wrote garbage rows into every other slot)."""
+        from .engine import _scatter_cache, _bucket
+        from .kv_cache import KVCache
+        hp = self.spec.hyper_params
+        bucket = _bucket(len(tokens), hi=self.cache.max_len)
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :len(tokens)] = tokens
+        tmp = KVCache.create(hp.decoder_layers, 1, bucket, hp.kv_heads,
+                             hp.head_dim, quantized=False)
+        _, tmp = self._chunk(self.params, jnp.asarray(padded), tmp,
+                             jnp.asarray([len(tokens)], jnp.int32))
+        self.cache = _scatter_cache(self.cache, tmp, jnp.int32(slot),
+                                    jnp.int32(len(tokens)))
 
     def propose(self, pending: List[List[int]], active: np.ndarray
                 ) -> np.ndarray:

@@ -238,6 +238,38 @@ def test_chunked_prefill_interleaves_decode(tiny_model):
     assert len(eng.query_tokens(q2)) >= 4 or True
 
 
+def test_chunked_prefill_not_corrupted_by_concurrent_decode(tiny_model):
+    """While q2's long prompt prefills chunk-by-chunk, q1's batched
+    decode steps scatter a K/V row for EVERY slot at its cache.length.
+    q2's slot length is stale during its multi-step prefill, so without
+    parking it at a safe row those garbage writes land INSIDE the prompt
+    rows the chunks just wrote — q2's output then diverges from running
+    the same prompt alone (review finding r3)."""
+    spec, params = tiny_model
+    rng = np.random.default_rng(6)
+    long_prompt = [int(x) for x in rng.integers(1, 120, size=60)]
+
+    ref = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=True)
+    ref.prefill_chunk = 16
+    want = ref.generate(long_prompt, SamplingOptions(strategy="greedy"),
+                        max_new_tokens=4)
+
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          kv_cache_quantized=True)
+    eng.prefill_chunk = 16
+    q1 = eng.add_query([3, 5, 9], SamplingOptions(strategy="greedy"),
+                       max_new_tokens=32)
+    eng.commit_inference_result(eng.infer())  # q1 into decode
+    q2 = eng.add_query(long_prompt, SamplingOptions(strategy="greedy"),
+                       max_new_tokens=4)
+    for _ in range(40):
+        eng.commit_inference_result(eng.infer())
+        if len(eng.query_tokens(q2)) >= 4:
+            break
+    assert eng.query_tokens(q2)[:4] == want[:4]
+
+
 def test_engine_cpu_layer_offload(tiny_model):
     """decoder_cpu_layer_count: leading layers run on the jax CPU backend
     (the reference's ggml CPU worker analog); outputs must match."""
