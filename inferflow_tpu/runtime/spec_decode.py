@@ -43,17 +43,26 @@ class DraftWorker:
 
     def __init__(self, spec: ModelSpec, params: dict, max_slots: int,
                  max_context: int, use_pallas: bool, k: int = 4):
-        from ..models.decoder import fuse_layer_weights, stack_layers
+        from ..models.decoder import (fuse_layer_weights, stack_layers,
+                                      stack_moe_experts)
         from .kv_cache import KVCache
 
         self.spec = spec
         if isinstance(params.get("layers"), list):
+            # keep this prep in lockstep with InferenceEngine.__init__ —
+            # a divergence (e.g. missing expert stacking) silently sends
+            # the draft down a slower path
             layers = params["layers"]
             had_separate = all("wq" in l.get("attn", {}) for l in layers)
             layers = fuse_layer_weights(layers)
+            layers = stack_moe_experts(layers)
             if had_separate and all("qkv" in l["attn"] for l in layers):
                 self.spec = dataclasses.replace(spec, qkv_format=1)
-            params = dict(params, layers=stack_layers(layers))
+            try:
+                layers = stack_layers(layers)
+            except ValueError:
+                pass  # heterogeneous: the layer loops accept lists
+            params = dict(params, layers=layers)
         self.params = params
         self.k = k
         self.use_pallas = use_pallas
