@@ -279,9 +279,13 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
         def _pick_chunk(cfg):
             kc = cfg.kp
             # (chunk*pk) must stay a multiple of the quant block so the
-            # scale rows for a chunk are a whole-row slice
+            # scale rows for a chunk are a whole-row slice; the bound is
+            # on the UNPACKED (kc*pk, TN) int32/bf16 temporaries — pk
+            # sub-values per byte multiply the transient, so sub-byte
+            # formats need proportionally smaller packed chunks
             step = max(cfg.blk // cfg.pk, 1)
-            while kc > 512 and kc % 2 == 0 and (kc // 2) % step == 0:
+            limit = max(512 // cfg.pk, step)
+            while kc > limit and kc % 2 == 0 and (kc // 2) % step == 0:
                 kc //= 2
             return kc
 
@@ -439,9 +443,12 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             knew_ref[0, b:b + 1, :] = k_rot.reshape(1, kvdim)
             vnew_ref[0, b:b + 1, :] = vb.reshape(1, kvdim)
 
-            # codec-exact self-row quantize->dequantize (codec_jax
-            # quantize_q8_sym): the cache row the NEXT step will read is
-            # quantized, so the self term must see the same values
+            # self-row quantize->dequantize (codec_jax quantize_q8_sym):
+            # the cache row the NEXT step reads is quantized, so the self
+            # term sees the quantized values.  One deviation: the stored
+            # scale is rounded to f16 (Mosaic has no f16 compute, so the
+            # in-register dequant uses the f32 scale) — <=2^-11 relative
+            # on the self row, far below the Q8 code error itself
             def qdq(rows):
                 r3 = rows.reshape(hk, d // kv_blk, kv_blk)
                 m0 = jnp.max(jnp.abs(r3), axis=-1, keepdims=True)
@@ -600,7 +607,10 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             # host with a device round-trip, inference_worker.cc:
             # 1924-2146; here routing never leaves the kernel)
             n_exp, top_k, norm_topk = moe
-            logits = _dot(xn[:], gate_ref[0])  # (B, nE) f32
+            # f32 gate dot: routing must not flip near-tied experts vs
+            # the fallback path's precision
+            logits = jnp.dot(xn[:].astype(jnp.float32), gate_ref[0],
+                             preferred_element_type=jnp.float32)
             mx = jnp.max(logits, axis=-1, keepdims=True)
             ex = jnp.exp(logits - mx)
             probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
@@ -684,7 +694,7 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
         in_specs.append(pl.BlockSpec((1, e_dim, n_exp),
                                      lambda l, m: (l, 0, 0),
                                      memory_space=pltpu.VMEM))
-        inputs.append(gate.astype(jnp.bfloat16))
+        inputs.append(gate.astype(jnp.float32))
     for nm in ("qkv", "wo", "w1n3", "w2"):
         plane, sc, bs = weights[nm]
         in_specs.append(hbm)
@@ -862,6 +872,17 @@ def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
         return False  # must be layer-stacked (L, E)
     if "post_norm" in attn or "post_norm" in ffn:
         return False
+    # K-padded storage (pad_weight_for_tpu) is only handled for w2 (the
+    # hglu scratch carries the zeroed tail); qkv/wo/w1n3 activations are
+    # exactly E / hq*d / E wide in-kernel, so padded variants must take
+    # the per-layer path instead of failing at trace time
+    e_dim = int(attn["pre_norm"].shape[-1])
+    for kk, grp, want in (("qkv", attn, e_dim),
+                          ("wo", attn, hp.decoder_heads * hp.head_dim),
+                          ("w1n3", ffn, e_dim)):
+        cfg = _mm_cfg(kk, grp[kk])
+        if cfg is None or cfg.k_s != want:
+            return False
     if spec.qkv_format != 1:
         return False
     # w1n3 GLU split must be clean: N == 2 * F and w2 K >= F

@@ -72,11 +72,17 @@ def pipelined_chunk_prefill(spec, stacked, emb, cache: KVCache,
     """
     from ..models.decoder import decoder_layers_chunk
 
+    if isinstance(stacked, list):
+        raise ValueError("pipelined prefill needs a layer-STACKED tree; "
+                         "heterogeneous (list) layer stacks cannot shard "
+                         "their layer axis over 'pp'")
     if mesh.shape.get("dp", 1) != 1 or mesh.shape.get("tp", 1) != 1:
         raise ValueError("pipelined prefill v1 supports pure-'pp' meshes "
                          f"(got {dict(mesh.shape)})")
     pp = mesh.shape["pp"]
     t_pad = emb.shape[1]
+    if not 0 < prompt_len <= t_pad:
+        raise ValueError(f"prompt_len {prompt_len} outside (0, {t_pad}]")
     n_chunks = t_pad // chunk
     if t_pad % chunk:
         raise ValueError("emb must be padded to a chunk multiple")

@@ -491,7 +491,11 @@ class InferenceEngine:
             tokens = qs.prompt_tokens
             use_pipeline = (self.pipe_prefill
                             and len(tokens) > self.prefill_chunk
-                            and not self.host_kv_layers)
+                            and not self.host_kv_layers
+                            # heterogeneous (list) stacks can't shard
+                            # the layer axis; fall back to chunking
+                            and isinstance(self.params.get("layers"),
+                                           dict))
             if use_pipeline:
                 c = self.prefill_chunk
                 n_chunks = _bucket(-(-len(tokens) // c), lo=1,
