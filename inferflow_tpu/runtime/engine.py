@@ -156,7 +156,15 @@ class InferenceEngine:
             self.max_context_len = hp.training_context_len
         if self.max_context_len <= 0:
             self.max_context_len = 2048
-        self.use_pallas = use_pallas
+        # Pallas custom calls are not GSPMD-partitionable: under a
+        # weight-sharding (dp/pp/tp) mesh, sharded weights/cache would be
+        # ALL-GATHERED into every kernel call (catastrophic traffic,
+        # likely OOM).  Those engines run the XLA path — GSPMD partitions
+        # its dequant/attention natively; shard_map-wrapped kernels are
+        # the round-4 path to pallas+mesh.  Ring ('sp') meshes replicate
+        # the weights (only the prompt's sequence axis shards), so their
+        # kernels stay on replicated operands and remain safe.
+        self.use_pallas = use_pallas and (mesh is None or self.sp_size > 1)
 
         if kv_cache_quantized is None:
             from ..quant.formats import is_quantized

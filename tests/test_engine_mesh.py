@@ -48,6 +48,22 @@ def test_by_tensor_engine_matches_single():
 
 
 @needs4
+def test_mesh_engine_disables_pallas():
+    """Weight-sharding meshes must force the XLA path: Pallas custom
+    calls are not GSPMD-partitionable and would all-gather the sharded
+    weights into every kernel call."""
+    spec, params = _tiny()
+    import copy
+    mesh = make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2)
+    eng = InferenceEngine(spec, copy.copy(params), max_concurrent_queries=2,
+                          use_pallas=True, mesh=mesh)
+    assert eng.use_pallas is False
+    single = InferenceEngine(spec, params, max_concurrent_queries=2,
+                             use_pallas=True)
+    assert single.use_pallas is True
+
+
+@needs4
 def test_hybrid_groups_engine():
     """`devices = 0&1;2&3` drives a (pp=2, tp=2) mesh through the engine."""
     groups = parse_device_groups("0&1;2&3")
