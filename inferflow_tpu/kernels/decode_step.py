@@ -30,7 +30,8 @@ sub-dots (see stream_mm).
 
 Supported (v1): decoder-only llama-family blocks — RMS pre-norms, RoPE
 (both column orders, full rotary), GQA, fused qkv/w1n3,
-single-'data'-plane quant formats (Q8_B32T1/T2, Q4_B64T1/B32T1A, Q2)
+single-'data'-plane quant formats (Q8_B32T1/T2, Q4_B64T1/B32T1A, Q2),
+Q3H's base-11 pair8 device layout
 plus the i4/i8mm device layouts, optional per-matmul output biases
 (qwen-family fused qkv bias),
 Q8-quantized packed KV cache, batch <= 8 (the engine's default
@@ -79,6 +80,9 @@ class _MM:
     i4: bool = False      # native-int4 plane (codes-8 at row k): unpack
     #                       is ONE int4->bf16 convert; +8 rides the base
     #                       dot (see repack_i4)
+    pair8: bool = False   # Q3H base-11 pair layout: one byte per value
+    #                       PAIR (v0 + 11*v1); decode + per-row parity
+    #                       select in-kernel
 
 
 def _pick_tn(kp: int, n: int) -> int:
@@ -113,8 +117,23 @@ def _mm_cfg(name: str, qt) -> Optional[_MM]:
             return None
         return _MM(name, kp, kp, n, tn, 1, 4, True, fmt.block,
                    fmt.base_kind != "zero", i4=True)
+    if fmt.pair_base11:
+        # Q3H: only the pair8 device layout (one byte per pair) streams;
+        # the wire bit-planes stay on the per-layer kernel
+        plane = qt.planes.get("pair8")
+        if plane is None or fmt.meta != "f16":
+            return None
+        kp, n = int(plane.shape[-2]), int(plane.shape[-1])
+        k_s = kp * 2
+        if k_s % fmt.block or kp % 8:
+            return None
+        tn = _pick_tn(kp, n)
+        if tn == 0:
+            return None
+        return _MM(name, k_s, kp, n, tn, 2, 8, False, fmt.block,
+                   fmt.base_kind != "zero", pair8=True)
     if (len(fmt.planes) != 1 or fmt.planes[0].layout != "consecutive"
-            or fmt.pair_base11 or fmt.meta != "f16"):
+            or fmt.meta != "f16"):
         return None
     bits = fmt.planes[0].bits
     pk = 8 // bits
@@ -308,7 +327,10 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 consume(j, acc)
 
             # per-row sub index / shift amounts, shared by all tiles
-            if cfg.pk > 1:
+            if cfg.pair8:
+                even = jax.lax.broadcasted_iota(
+                    jnp.int32, (kc * 2, 1), 0) % 2 == 0
+            elif cfg.pk > 1:
                 srow = jax.lax.broadcasted_iota(
                     jnp.int32, (kc * cfg.pk, 1), 0) % cfg.pk
                 if cfg.signed:
@@ -369,6 +391,33 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         part = _dot(xv[:, c0:c0 + kc], qb)
                         acc = part if acc is None else acc + part
                     finish(j, acc * sb[slot][:])
+                    continue
+                if cfg.pair8:
+                    # Q3H base-11 pairs: byte j holds v0 + 11*v1 for
+                    # values 2j / 2j+1; decode both in f32 (exact for
+                    # codes 0..120, see codec_jax.dequantize) and pick by
+                    # row parity after the 2x sublane repeat
+                    sc_small = _decode_f16_bits(sb[slot])
+                    acc = None
+                    if cfg.has_base:
+                        acc = _dot(xsum,
+                                   _decode_f16_bits(bb[slot]).astype(
+                                       jnp.bfloat16))
+                    for c0 in range(0, cfg.kp, kc):
+                        # Mosaic lacks a u8->f32 cast; hop through i32
+                        v = wb[slot][c0:c0 + kc, :].astype(
+                            jnp.int32).astype(jnp.float32)
+                        vr = jnp.repeat(v, 2, axis=0)  # (kc*2, TN)
+                        v1 = jnp.floor((vr + 0.5) * (1.0 / 11.0))
+                        v0 = vr - 11.0 * v1
+                        qb = jnp.where(even, v0, v1).astype(jnp.bfloat16)
+                        r0 = c0 * 2 // cfg.blk
+                        r1 = (c0 + kc) * 2 // cfg.blk
+                        sc = jnp.repeat(sc_small[r0:r1, :], cfg.blk,
+                                        axis=0).astype(jnp.bfloat16)
+                        part = _dot(xv[:, c0 * 2:(c0 + kc) * 2], qb * sc)
+                        acc = part if acc is None else acc + part
+                    finish(j, acc)
                     continue
                 if cfg.i4:
                     # native int4 rows (codes-8): one convert per weight;
@@ -932,7 +981,10 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
     }
     def _w(qt):
         if isinstance(qt, QuantizedTensor):
-            plane = qt.planes.get("data", qt.planes.get("data_i4"))
+            for nm_ in ("data", "data_i4", "pair8"):
+                plane = qt.planes.get(nm_)
+                if plane is not None:
+                    break
             return (plane, qt.scale, qt.base)
         # Int8MXUTensor: (L, K, N) int8 + (L, N) f32 column scale,
         # shipped as (L, 1, N) so the kernel DMAs (1, TN) tiles

@@ -21,7 +21,8 @@ def norm_rmsd(a, b):
     return np.sqrt(((a - b) ** 2).mean()) / denom
 
 
-@pytest.fixture(scope="module", params=["Q4_B64T1", "Q8_B32T2"])
+@pytest.fixture(scope="module",
+                params=["Q4_B64T1", "Q8_B32T2", "Q3H_B64T1"])
 def model(request):
     spec = make_spec("test-llama")
     spec.max_context_len = 128
