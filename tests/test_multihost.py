@@ -24,7 +24,6 @@ proc_id = int(sys.argv[1])
 coord = sys.argv[2]
 out_path = sys.argv[3]
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from inferflow_tpu.parallel.mesh import init_distributed, make_multihost_mesh
 
 init_distributed(coord, num_processes=2, process_id=proc_id)
@@ -92,14 +91,16 @@ def test_two_process_distributed_mesh(tmp_path):
     worker.write_text(_WORKER)
     out = str(tmp_path / "result")
     coord = f"127.0.0.1:{_free_port()}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    env.pop("PYTHONPATH", None)
+    # drop any axon/TPU site dirs; the worker must import THIS repo and
+    # run on virtual CPU devices only
     env.update({
+        "PYTHONPATH": repo,
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
         "JAX_NUM_CPU_DEVICES": "2",
     })
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [subprocess.Popen(
         [sys.executable, str(worker), str(i), coord, out],
         env=env, cwd=repo, stdout=subprocess.PIPE,
