@@ -30,6 +30,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: the whole-model fused decode step is a
+# large Mosaic kernel whose XLA+Mosaic compile is minutes on the real
+# chip; caching makes every bench run after the first start fast.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/inferflow_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def _timed_chain(fn, state, iters):
     """Run fn chained `iters` times; time until a real host fetch lands.
