@@ -33,9 +33,12 @@ import jax.numpy as jnp
 # Persistent compilation cache: the whole-model fused decode step is a
 # large Mosaic kernel whose XLA+Mosaic compile is minutes on the real
 # chip; caching makes every bench run after the first start fast.
+# Per-user location: a world-shared /tmp dir could be pre-owned (or its
+# cached executables poisoned) by another user (ADVICE r3).
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/tmp/inferflow_jax_cache"))
+                                 os.path.expanduser(
+                                     "~/.cache/inferflow_jax")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 

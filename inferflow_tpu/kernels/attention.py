@@ -44,6 +44,19 @@ def _pick_ts(s: int) -> int:
     return 0
 
 
+def _pick_ts_lane(s: int) -> int:
+    """Sequence tile for QUANTIZED caches, whose scale DMAs slice the
+    LANE (trailing) dim of the packed (.., C, S/pf) scale arrays: Mosaic
+    requires every lane-dim slice — even a full slice of a sub-128 dim,
+    which the tiled layout pads to 128 — to be a multiple of 128.
+    Packed seq dims below 128 (tiny max_context at narrow head dims)
+    therefore take the XLA fallback (return 0)."""
+    for ts in (512, 256, 128):
+        if s % ts == 0:
+            return ts
+    return 0
+
+
 def _pf(d: int) -> int:
     """Sequence pack factor (mirrors runtime.kv_cache.kv_pack_for): heads
     narrower than 128 lanes pack pf rows per 128-lane storage row."""
@@ -53,7 +66,7 @@ def _pf(d: int) -> int:
 
 
 def _make_kernel(g: int, ts: int, d: int, blk: int, pf: int,
-                 quantized: bool, scale: float):
+                 quantized: bool, scale: float, full_ts: bool = False):
     n_bufs = 2
 
     def kernel(*refs):
@@ -76,21 +89,25 @@ def _make_kernel(g: int, ts: int, d: int, blk: int, pf: int,
         nb = pl.cdiv(length, ts * pf)  # packed-row blocks
 
         def dma(j, slot):
-            s0 = pl.multiple_of(j * ts, ts)
+            # full_ts: ts covers the whole packed seq dim — a static full
+            # slice (dynamic lane-dim slices below 128 have no legal
+            # Mosaic tiling; _pick_ts_lane)
+            ssl = (slice(None) if full_ts
+                   else pl.ds(pl.multiple_of(j * ts, ts), ts))
             cps = [pltpu.make_async_copy(
-                k_hbm.at[layer, b, h, pl.ds(s0, ts), :],
+                k_hbm.at[layer, b, h, ssl, :],
                 k_buf.at[slot], sems.at[0, slot]),
                 pltpu.make_async_copy(
-                v_hbm.at[layer, b, h, pl.ds(s0, ts), :],
+                v_hbm.at[layer, b, h, ssl, :],
                 v_buf.at[slot], sems.at[1, slot])]
             if quantized:
                 # scales are stored transposed (.., D/blk, S): a clean
                 # (C, ts) tile (an (ts, C) tile is un-DMA-able: C < lane)
                 cps.append(pltpu.make_async_copy(
-                    ks_hbm.at[layer, b, h, :, pl.ds(s0, ts)],
+                    ks_hbm.at[layer, b, h, :, ssl],
                     ks_buf.at[slot], sems.at[2, slot]))
                 cps.append(pltpu.make_async_copy(
-                    vs_hbm.at[layer, b, h, :, pl.ds(s0, ts)],
+                    vs_hbm.at[layer, b, h, :, ssl],
                     vs_buf.at[slot], sems.at[3, slot]))
             return cps
 
@@ -201,7 +218,8 @@ def _decode_attention(meta, q, k, k_scale, v, v_scale, *,
     g = hq // h
     quantized = k_scale is not None
     pf = dp // d
-    ts = min(_pick_ts(s_packed), 512)
+    ts = min(_pick_ts_lane(s_packed) if quantized else _pick_ts(s_packed),
+             512)
     blk = dp // k_scale.shape[-2] if quantized else 0
     scale = (1.0 / (d ** 0.5)) * kq_scale
 
@@ -235,7 +253,8 @@ def _decode_attention(meta, q, k, k_scale, v, v_scale, *,
     scratch.append(pltpu.VMEM((g, d), jnp.float32))      # output accumulator
     scratch.append(pltpu.SemaphoreType.DMA((4, 2)))
 
-    kernel = _make_kernel(g, ts, d, blk, pf, quantized, scale)
+    kernel = _make_kernel(g, ts, d, blk, pf, quantized, scale,
+                          full_ts=(ts == s_packed))
     kv_bytes = 2 * bsz * h * s_packed * dp * k.dtype.itemsize
     out = pl.pallas_call(
         kernel,
@@ -286,7 +305,8 @@ def decode_attention(q, cache, layer, lengths, *, kq_scale: float = 1.0,
 
 
 def _make_chunk_kernel(c: int, g: int, ts: int, d: int, blk: int, pf: int,
-                       quantized: bool, scale: float):
+                       quantized: bool, scale: float,
+                       full_ts: bool = False):
     """Flash chunk attention: C query rows of ONE slot attend to that
     slot's cache rows [0, start + C) with per-row causal masking."""
     n_bufs = 2
@@ -309,19 +329,20 @@ def _make_chunk_kernel(c: int, g: int, ts: int, d: int, blk: int, pf: int,
         nb = pl.cdiv(length, ts * pf)
 
         def dma(j, sl):
-            s0 = pl.multiple_of(j * ts, ts)
+            ssl = (slice(None) if full_ts
+                   else pl.ds(pl.multiple_of(j * ts, ts), ts))
             cps = [pltpu.make_async_copy(
-                k_hbm.at[layer, slot, h, pl.ds(s0, ts), :],
+                k_hbm.at[layer, slot, h, ssl, :],
                 k_buf.at[sl], sems.at[0, sl]),
                 pltpu.make_async_copy(
-                v_hbm.at[layer, slot, h, pl.ds(s0, ts), :],
+                v_hbm.at[layer, slot, h, ssl, :],
                 v_buf.at[sl], sems.at[1, sl])]
             if quantized:
                 cps.append(pltpu.make_async_copy(
-                    ks_hbm.at[layer, slot, h, :, pl.ds(s0, ts)],
+                    ks_hbm.at[layer, slot, h, :, ssl],
                     ks_buf.at[sl], sems.at[2, sl]))
                 cps.append(pltpu.make_async_copy(
-                    vs_hbm.at[layer, slot, h, :, pl.ds(s0, ts)],
+                    vs_hbm.at[layer, slot, h, :, ssl],
                     vs_buf.at[sl], sems.at[3, sl]))
             return cps
 
@@ -420,7 +441,8 @@ def _chunk_attention(meta, q, k, k_scale, v, v_scale, *,
     g = hq // h
     quantized = k_scale is not None
     pf = dp // d
-    ts = min(_pick_ts(s_packed), 512)
+    ts = min(_pick_ts_lane(s_packed) if quantized else _pick_ts(s_packed),
+             512)
     blk = dp // k_scale.shape[-2] if quantized else 0
     scale = (1.0 / (d ** 0.5)) * kq_scale
 
@@ -454,7 +476,8 @@ def _chunk_attention(meta, q, k, k_scale, v, v_scale, *,
     scratch.append(pltpu.VMEM((c * g, d), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA((4, 2)))
 
-    kernel = _make_chunk_kernel(c, g, ts, d, blk, pf, quantized, scale)
+    kernel = _make_chunk_kernel(c, g, ts, d, blk, pf, quantized, scale,
+                                full_ts=(ts == s_packed))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -512,6 +535,7 @@ def decode_attention_supported(cache, spec, t: int) -> bool:
     d = cache.head_dim
     if not (d in (128, 256) or (d < 128 and 128 % d == 0)):
         return False
-    if _pick_ts(cache.k.shape[3]) == 0:
+    picker = _pick_ts_lane if cache.quantized else _pick_ts
+    if picker(cache.k.shape[3]) == 0:
         return False
     return True

@@ -672,13 +672,17 @@ def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
     is_list = isinstance(stacked, list)
     n_layers = len(stacked) if is_list else _stacked_layer_count(stacked)
     if cache is not None and use_pallas and x.shape[1] == 1 \
-            and not is_list and jax.default_backend() == "tpu":
+            and not is_list:
         # whole-model fused decode: ONE pallas call for all layers
         # (kernels/decode_step.py) — kills the per-layer launch + pipeline
-        # ramp overhead that dominated the r2 decode step
+        # ramp overhead that dominated the r2 decode step.  The engine's
+        # first-decode probe disables this path process-wide if the
+        # kernel fails to compile on the chip (mega_disabled()).
         from ..kernels.decode_step import (fused_decode_step,
-                                           fused_step_supported)
-        if fused_step_supported(spec, stacked, cache, x.shape[0]):
+                                           fused_step_supported,
+                                           mega_backend_ok)
+        if mega_backend_ok() and fused_step_supported(spec, stacked, cache,
+                                                      x.shape[0]):
             return fused_decode_step(spec, stacked, x, positions, cache)
     fused = False
     if cache is not None and use_pallas and x.shape[1] == 1 \

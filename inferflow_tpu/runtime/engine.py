@@ -284,6 +284,54 @@ class InferenceEngine:
         self._suffix_decode = jax.jit(self._suffix_impl, donate_argnums=(2,))
         self._suffix_prefill = jax.jit(self._suffix_prefill_impl,
                                        static_argnames=("bucket",))
+        self._mega_probed = False
+
+    def _probe_fused_decode(self) -> None:
+        """First-decode compile probe (VERDICT r3 weak-3): run one decode
+        step on a COPY of the cache before the real one.  If the
+        whole-model fused kernel (kernels/decode_step.py) fails to build
+        on this chip, disable it process-wide, re-jit the decode programs
+        and serve via the per-layer path instead of crashing.  The probe
+        is the first step's compile, so the success path costs one extra
+        step of compute, not an extra compile."""
+        self._mega_probed = True
+        from ..kernels import decode_step as _mega
+        if not (self.use_pallas and _mega.mega_backend_ok()
+                and _mega.mega_disabled() is None):
+            return
+        stacked = self.params.get("layers")
+        bsz = self.max_slots
+        if not _mega.fused_step_supported(self.spec, stacked, self.cache,
+                                          bsz):
+            return
+        tokens = np.zeros((bsz, 1), np.int32)
+        active = np.zeros((bsz,), np.int32)
+        cache_copy = jax.tree_util.tree_map(jnp.copy, self.cache)
+        try:
+            if self.host_kv_layers:
+                hp = self.spec.hyper_params
+                x = jnp.zeros((bsz, 1, hp.embd_dims), jnp.bfloat16)
+                out = self._suffix_decode(self.params, x, cache_copy,
+                                          jnp.asarray(active))
+            else:
+                out = self._decode_step(
+                    self.params, self._place_batch(tokens),
+                    self._gather_embeds(tokens), cache_copy,
+                    self._place_batch(active))
+            jax.block_until_ready(out)
+        except Exception as e:  # noqa: BLE001 — compile OR runtime build
+            import logging
+            logging.getLogger(__name__).warning(
+                "fused decode step failed to build (%s); serving falls "
+                "back to the per-layer path", type(e).__name__)
+            _mega.disable_mega(type(e).__name__)
+            # fresh jit wrappers -> fresh traces without the mega call
+            self._decode_step = jax.jit(self._decode_impl,
+                                        donate_argnums=(3,))
+            self._verify_step = jax.jit(self._verify_impl,
+                                        donate_argnums=(3,))
+            self._suffix_decode = jax.jit(self._suffix_impl,
+                                          donate_argnums=(2,))
 
     def _gather_embeds(self, tokens: np.ndarray):
         """Host-RAM embedding gather (None when embeddings live in HBM)."""
@@ -574,6 +622,8 @@ class InferenceEngine:
             decoding = [q for q in self.table.decoding()
                         if not any(r.query_id == q.query_id
                                    for r in results)]
+        if decoding and not self._mega_probed:
+            self._probe_fused_decode()
         spec_ok = decoding and self.draft is not None and all(
             (q.sampling.strategy or "greedy") in ("greedy", "")
             for q in decoding)

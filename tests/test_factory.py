@@ -123,3 +123,60 @@ def test_decoder_engine_from_config_dispatch(tmp_path, rng):
     assert isinstance(eng, InferenceEngine)
     toks = eng.generate([3, 5], max_new_tokens=3)
     assert len(toks) >= 1
+
+
+def test_decoder_engine_from_config_device_groups(tmp_path, rng):
+    """A served ini with `devices = 0;1` must build a MESH engine through
+    the factory — make_engine used to drop device_groups (and every other
+    from_config-only key) on the floor (VERDICT r3 weak-5)."""
+    from inferflow_tpu.config import load_engine_config
+    from inferflow_tpu.runtime import make_engine, InferenceEngine
+    import struct
+
+    mdir = tmp_path / "dec2"
+    os.makedirs(mdir)
+    # llama2.c minimal checkpoint with TWO layers (pp=2 must divide)
+    dim, hid, lay, hd, vb, sq = 32, 64, 2, 4, 48, 32
+    with open(mdir / "model.bin", "wb") as fh:
+        fh.write(struct.pack("<7i", dim, hid, lay, hd, hd, vb, sq))
+
+        def w(*shape):
+            fh.write((rng.standard_normal(shape) * 0.08)
+                     .astype(np.float32).tobytes())
+        w(vb, dim)
+        for group in ((dim,), (dim, dim), (dim, dim), (dim, dim),
+                      (dim, dim), (dim,), (hid, dim), (dim, hid),
+                      (hid, dim)):
+            for _ in range(lay):
+                w(*group)
+        w(dim)
+        w(sq, dim // hd)
+    with open(mdir / "model_spec.json", "w") as fh:
+        json.dump({"model_files": ["model.bin"],
+                   "model_file_format": "llama2.c",
+                   "network_structure": {"type": "transformer.llama",
+                                         "qk_column_order": 0}}, fh)
+    ini = os.path.join(str(tmp_path), "dec2.ini")
+    with open(ini, "w") as fh:
+        fh.write(f"""
+[main]
+http_port = 0
+
+[transformer_engine]
+models = dec2
+max_concurrent_queries = 2
+devices = 0;1
+
+[model.dec2]
+model_dir = {mdir}/
+model_specification_file = {mdir}/model_spec.json
+device_weight_data_type = F16
+""")
+    ec = load_engine_config(ini)
+    assert ec.device_groups == [[0], [1]]
+    eng = make_engine(ec)
+    assert isinstance(eng, InferenceEngine)
+    assert eng.mesh is not None
+    assert dict(eng.mesh.shape)["pp"] == 2
+    toks = eng.generate([3, 5], max_new_tokens=3)
+    assert len(toks) >= 1

@@ -93,8 +93,9 @@ def test_two_process_distributed_mesh(tmp_path):
     coord = f"127.0.0.1:{_free_port()}"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    # drop any axon/TPU site dirs; the worker must import THIS repo and
-    # run on virtual CPU devices only
+    # replace any inherited PYTHONPATH entries so the worker imports THIS
+    # repo's package (site-packages dirs are unaffected; JAX_PLATFORMS=cpu
+    # is what forces CPU devices)
     env.update({
         "PYTHONPATH": repo,
         "JAX_PLATFORMS": "cpu",

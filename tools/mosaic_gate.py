@@ -1,0 +1,205 @@
+"""Mosaic compile gate: REAL TPU compiles of every eligible Pallas path.
+
+Round 3's whole-model fused decode kernel passed `jax.export` for
+platform 'tpu' but still died on the chip: jax.export stops at StableHLO
+and never runs Mosaic's infer-vector-layout pass, which is exactly where
+the kernel failed (VERDICT r3 weak-2).  The only gate that catches that
+class is a full `jax.jit(...).lower().compile()` — on this environment
+that goes through the axon remote-compile helper, which compiles
+CHIPLESSLY (TpuAotCompiler), so the gate runs even while the chip is
+busy.
+
+Default: the smoke set (one compile per kernel family at test shapes,
+served by the persistent compilation cache on repeat runs).  --full adds
+the format x batch x model matrix.  Exit code != 0 on any failure; each
+failure prints the variant name and the first lines of the error.
+
+Usage:
+  python tools/mosaic_gate.py           # smoke set
+  python tools/mosaic_gate.py --full    # full eligibility matrix
+  python tools/mosaic_gate.py --only mega-Q4_B64T1-b1
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/inferflow_jax"))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _mega_variant(model, fmt, layout, bsz, ctx=512, **spec_overrides):
+    """Build a compile thunk for one fused-decode-step config."""
+    from inferflow_tpu.models.zoo import make_spec, make_synthetic_params
+    from inferflow_tpu.runtime.kv_cache import KVCache
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+
+    spec = make_spec(model, **spec_overrides)
+    spec.max_context_len = ctx
+    params = make_synthetic_params(spec, weight_format=fmt, stacked=True,
+                                   device_layout=layout)
+    hp = spec.hyper_params
+    cache = KVCache.create(hp.decoder_layers, bsz, ctx, hp.kv_heads,
+                           hp.head_dim, quantized=True)
+    cache = cache.with_length(jnp.asarray([7] * bsz, jnp.int32))
+    stacked = params["layers"]
+    if not fused_step_supported(spec, stacked, cache, bsz):
+        raise RuntimeError("config not eligible for the fused step")
+    x = jnp.zeros((bsz, 1, hp.embd_dims), jnp.bfloat16)
+    pos = cache.length[:, None]
+
+    def thunk():
+        def f(x, cache):
+            return fused_decode_step(spec, stacked, x, pos, cache)
+        jax.jit(f).lower(x, cache).compile()
+
+    return thunk
+
+
+def _attention_variant(bsz, hk, g, d, s=256):
+    """Fused decode attention kernel (kernels/attention.py)."""
+    from inferflow_tpu.runtime.kv_cache import KVCache
+    from inferflow_tpu.kernels.attention import decode_attention
+
+    cache = KVCache.create(2, bsz, s, hk, d, quantized=True)
+    cache = cache.with_length(jnp.asarray([9] * bsz, jnp.int32))
+    q = jnp.zeros((bsz, 1, hk * g, d), jnp.bfloat16)
+
+    def thunk():
+        def f(q, cache):
+            return decode_attention(q, cache, 0, cache.length,
+                                    kq_scale=1.0 / d ** 0.5)
+        jax.jit(f).lower(q, cache).compile()
+
+    return thunk
+
+
+def _dequant_matmul_variant(fmt, k=512, n=512):
+    from inferflow_tpu.quant.codec_jax import quantize
+    from inferflow_tpu.kernels.dequant_matmul import (quantized_matmul,
+                                                      pad_weight_for_tpu)
+    import numpy as np
+
+    rngv = np.random.default_rng(0)
+    w = jnp.asarray(rngv.standard_normal((k, n)) * 0.1, jnp.float32)
+    qt = pad_weight_for_tpu(quantize(w, fmt))
+    x = jnp.zeros((1, k), jnp.bfloat16)
+
+    def thunk():
+        jax.jit(lambda x: quantized_matmul(x, qt)).lower(x).compile()
+
+    return thunk
+
+
+def build_matrix(full: bool):
+    """name -> thunk-factory (lazy: building weights is itself slow)."""
+    m = {}
+    # smoke set: one per kernel family / device layout
+    m["mega-Q4_B64T1-b1"] = lambda: _mega_variant("test-llama", "Q4_B64T1",
+                                                  "", 1)
+    m["mega-Q8_B32T2-b1"] = lambda: _mega_variant("test-llama", "Q8_B32T2",
+                                                  "", 1)
+    m["mega-Q3H_B64T1-b1"] = lambda: _mega_variant("test-llama",
+                                                   "Q3H_B64T1", "", 1)
+    m["mega-i4-b1"] = lambda: _mega_variant("test-llama", "Q4_B64T1",
+                                            "i4", 1)
+    m["mega-i8mm-b1"] = lambda: _mega_variant("test-llama", "Q8_B32T2",
+                                              "i8mm", 1)
+    m["mega-moe-b2"] = lambda: _mega_variant_moe(2)
+    m["mega-Q4_B64T1-b8"] = lambda: _mega_variant("test-llama", "Q4_B64T1",
+                                                  "", 8)
+    m["attn-d128"] = lambda: _attention_variant(1, 2, 4, 128)
+    m["attn-d64"] = lambda: _attention_variant(2, 2, 4, 64)
+    m["dmm-Q4_B64T1"] = lambda: _dequant_matmul_variant("Q4_B64T1")
+    m["dmm-Q6_B64T1"] = lambda: _dequant_matmul_variant("Q6_B64T1")
+    if full:
+        for fmt in ("Q4_B32T1A", "Q2_B32T1A"):
+            m[f"mega-{fmt}-b1"] = (lambda f=fmt:
+                                   _mega_variant("test-llama", f, "", 1))
+        for b in (2, 4):
+            m[f"mega-Q4_B64T1-b{b}"] = (lambda b=b: _mega_variant(
+                "test-llama", "Q4_B64T1", "", b))
+        # 7B-shaped two-layer compile (slow; covers the big-shape layout
+        # classes: K=4096/11008, TN=512 tiles)
+        m["mega-Q4-7b-shape"] = lambda: _mega_variant(
+            "llama2-7b", "Q4_B64T1", "", 1, ctx=256, layers=2)
+        for fmt in ("Q5_B64T1", "Q8_B32T1", "Q3_B32T1A"):
+            m[f"dmm-{fmt}"] = (lambda f=fmt: _dequant_matmul_variant(f))
+    return m
+
+
+def _mega_variant_moe(bsz):
+    from inferflow_tpu.models.zoo import make_spec, make_synthetic_params
+    from inferflow_tpu.runtime.kv_cache import KVCache
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+
+    spec = make_spec("test-moe", embd=128, inter=256)
+    spec.max_context_len = 512
+    params = make_synthetic_params(spec, weight_format="Q8_B32T2",
+                                   stacked=True)
+    hp = spec.hyper_params
+    cache = KVCache.create(hp.decoder_layers, bsz, 512, hp.kv_heads,
+                           hp.head_dim, quantized=True)
+    cache = cache.with_length(jnp.asarray([7] * bsz, jnp.int32))
+    stacked = params["layers"]
+    if not fused_step_supported(spec, stacked, cache, bsz):
+        raise RuntimeError("moe config not eligible")
+    x = jnp.zeros((bsz, 1, hp.embd_dims), jnp.bfloat16)
+    pos = cache.length[:, None]
+
+    def thunk():
+        def f(x, cache):
+            return fused_decode_step(spec, stacked, x, pos, cache)
+        jax.jit(f).lower(x, cache).compile()
+
+    return thunk
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant names")
+    args = ap.parse_args()
+
+    if jax.default_backend() != "tpu":
+        print(f"FATAL: backend is {jax.default_backend()!r} — this gate "
+              "only means something against the TPU Mosaic pipeline",
+              file=sys.stderr)
+        return 2
+
+    matrix = build_matrix(args.full)
+    if args.only:
+        keep = set(args.only.split(","))
+        matrix = {k: v for k, v in matrix.items() if k in keep}
+
+    failures = []
+    for name, factory in matrix.items():
+        t0 = time.time()
+        try:
+            factory()()
+            print(f"PASS {name} ({time.time() - t0:.0f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()
+            head = "\n    ".join(msg[:6])
+            print(f"FAIL {name} ({time.time() - t0:.0f}s): "
+                  f"{type(e).__name__}\n    {head}", flush=True)
+            failures.append(name)
+    print(f"\n{len(matrix) - len(failures)}/{len(matrix)} variants compile")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
