@@ -247,9 +247,15 @@ def main():
 
     weight_bytes = model_weight_bytes(params)
     sol_tps = bw_gbps * 1e9 / weight_bytes
+    eff_layout = layout
+    if not eff_layout:
+        from inferflow_tpu.quant.codec_jax import resolve_auto_layout
+        auto = resolve_auto_layout(spec, quant)
+        eff_layout = f"{auto} auto" if auto else ""
+    ldesc = f", {eff_layout} layout" if eff_layout else ""
     result = {
-        "metric": f"decode tokens/s ({model_name}, {quant} weights, Q8 KV, "
-                  f"batch {batch}, ctx {ctx})",
+        "metric": f"decode tokens/s ({model_name}, {quant} weights{ldesc}, "
+                  f"Q8 KV, batch {batch}, ctx {ctx})",
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / (sol_tps * batch), 4),

@@ -939,8 +939,12 @@ def mega_backend_ok() -> bool:
 
 
 def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
-    """Static eligibility for the whole-model fused decode kernel."""
-    if os.environ.get("INFERFLOW_MEGA", "1") != "1":
+    """Static eligibility for the whole-model fused decode kernel.
+
+    INFERFLOW_MEGA: 0 = off, 1 (default) = on with the measured perf
+    routing (fused_step_preferred), 2 = force for every supported
+    config."""
+    if os.environ.get("INFERFLOW_MEGA", "1") == "0":
         return False
     if _disabled_reason is not None:
         return False
@@ -1029,6 +1033,34 @@ def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
         return False
     if f_dim % 128:
         return False
+    return True
+
+
+def fused_step_preferred(spec, stacked, cache, bsz: int) -> bool:
+    """Perf ROUTING on top of fused_step_supported (capability).
+
+    Measured same-run A/B (tools/ab_decode.py, r4, tinyllama ctx 1024):
+    the mega kernel wins ~2x for byte-aligned containers (q8 wire 2.61 ms
+    vs per-layer 5.11; q8c 2.54 vs 5.12; i8mm 1.73 vs 1.93) but LOSES for
+    wire-packed sub-byte planes (Q4 wire 6.94 vs 5.63; Q3H pair8 10.6) —
+    the in-kernel sublane-repeat + vector-shift unpack costs ~2x the
+    per-layer kernel's strided sub-dot, which slices activations at the
+    XLA level (impossible in-kernel; see the stream_mm design note).
+    Those formats keep the per-layer path.  INFERFLOW_MEGA=2 forces the
+    mega kernel for every supported config (measurement use)."""
+    if not fused_step_supported(spec, stacked, cache, bsz):
+        return False
+    if os.environ.get("INFERFLOW_MEGA", "1") == "2":
+        return True
+    moe_tree = stacked.get("moe")
+    ffn = (moe_tree["experts_stacked"] if moe_tree is not None
+           else stacked["ffn"])
+    attn = stacked["attn"]
+    for nm, qt in (("qkv", attn["qkv"]), ("wo", attn["wo"]),
+                   ("w1n3", ffn["w1n3"]), ("w2", ffn["w2"])):
+        cfg = _mm_cfg(nm, qt)
+        if cfg is not None and cfg.pk > 1 and not cfg.i4:
+            return False
     return True
 
 

@@ -159,12 +159,20 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
             from ..quant.codec_jax import requantize_q8_container
 
             def _layout(qt):
-                if spec.device_layout == "i8mm":
+                layout = spec.device_layout
+                if layout in ("", "auto"):
+                    # measured TPU default: sub-byte wire -> the q8c int8
+                    # container when it fits HBM (codec_jax
+                    # resolve_auto_layout; 'packed' forces the wire
+                    # layout, 'i8mm' opts into int8 activations)
+                    from ..quant.codec_jax import resolve_auto_layout
+                    layout = resolve_auto_layout(spec, et)
+                if layout == "i8mm":
                     from ..quant.codec_jax import requantize_i8_colwise
                     return requantize_i8_colwise(qt)
-                if spec.device_layout == "q8c":
+                if layout == "q8c":
                     qt = requantize_q8_container(qt)
-                if spec.device_layout == "i4":
+                if layout == "i4":
                     from ..quant.codec_jax import repack_i4
                     return repack_i4(pad_weight_for_tpu(qt))
                 return pad_weight_for_tpu(qt)

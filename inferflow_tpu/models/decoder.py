@@ -180,7 +180,15 @@ def ffn_block(spec: ModelSpec, lp: dict, x, *, use_pallas: bool = True):
     if "w1n3" in lp:
         h = linear(x, lp["w1n3"], lp.get("w1n3_b"), use_pallas=use_pallas)
         inter = h.shape[-1] // 2
-        a, g = h[..., :inter], h[..., inter:]
+        if spec.w1n3_ranks > 1:
+            # rank-major fused layout (parallel/tp_step.py): per rank
+            # [w1_r | w3_r]; un-interleave back to original column order
+            r = spec.w1n3_ranks
+            v = h.reshape(h.shape[:-1] + (r, 2, inter // r))
+            a = v[..., 0, :].reshape(h.shape[:-1] + (inter,))
+            g = v[..., 1, :].reshape(h.shape[:-1] + (inter,))
+        else:
+            a, g = h[..., :inter], h[..., inter:]
     else:
         a = linear(x, lp["w1"], lp.get("w1_b"), use_pallas=use_pallas)
         g = None
@@ -252,17 +260,28 @@ def moe_block(spec: ModelSpec, lp: dict, x, *, use_pallas: bool = True):
 
 
 def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
-                  layer_cache: Optional[dict], *, use_pallas: bool = True):
+                  layer_cache: Optional[dict], *, use_pallas: bool = True,
+                  tp_axis: Optional[str] = None):
     """One decoder layer honoring is_parallel_attn / mlp_attn_share_input /
-    is_attn_post_as_residual (inference_worker.cc:762-981)."""
+    is_attn_post_as_residual (inference_worker.cc:762-981).
+
+    tp_axis: set when running INSIDE shard_map over a tensor-parallel
+    mesh axis (parallel/tp_step.py): the attention and FFN sub-layer
+    outputs are partial sums from this shard's row-split wo/w2 and are
+    psum'd here — the same two all-reduce points as the reference
+    (inference_worker.cc:2148-2335)."""
     attn_p = lp["attn"]
     residual = x
+
+    def _reduce(out):
+        return out if tp_axis is None else jax.lax.psum(out, tp_axis)
 
     h = x
     if spec.use_self_attn_pre_norm:
         h = _norm(spec, x, attn_p, "pre_norm", spec.attn_pre_norm_base)
     attn_out, layer_cache = attention_block(spec, attn_p, h, positions,
                                             layer_cache, use_pallas=use_pallas)
+    attn_out = _reduce(attn_out)
 
     if spec.is_parallel_attn:
         # Falcon/Phi: FFN reads the same (normed) input; outputs summed
@@ -273,7 +292,7 @@ def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
             ffn_out = moe_block(spec, lp["moe"], ffn_in, use_pallas=use_pallas)
         else:
             ffn_out = ffn_block(spec, lp["ffn"], ffn_in, use_pallas=use_pallas)
-        return residual + attn_out + ffn_out, layer_cache
+        return residual + attn_out + _reduce(ffn_out), layer_cache
 
     attn_out = _norm(spec, attn_out, attn_p, "post_norm")
     if spec.is_attn_post_as_residual:
@@ -285,12 +304,12 @@ def decoder_layer(spec: ModelSpec, lp: dict, x, positions,
     if "moe" in lp:
         mp = lp["moe"]
         h = _norm(spec, x, mp, "pre_norm", spec.ffn_pre_norm_base)
-        ffn_out = moe_block(spec, mp, h, use_pallas=use_pallas)
+        ffn_out = _reduce(moe_block(spec, mp, h, use_pallas=use_pallas))
         ffn_out = _norm(spec, ffn_out, mp, "post_norm")
     else:
         fp = lp["ffn"]
         h = _norm(spec, x, fp, "pre_norm", spec.ffn_pre_norm_base)
-        ffn_out = ffn_block(spec, fp, h, use_pallas=use_pallas)
+        ffn_out = _reduce(ffn_block(spec, fp, h, use_pallas=use_pallas))
         ffn_out = _norm(spec, ffn_out, fp, "post_norm")
     return residual + ffn_out, layer_cache
 
@@ -655,7 +674,8 @@ def decoder_forward_scan(spec: ModelSpec, params: dict, tokens, positions,
 
 def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
                             cache: Optional[KVCache] = None, *,
-                            use_pallas: bool = True):
+                            use_pallas: bool = True,
+                            tp_axis: Optional[str] = None):
     """Statically-unrolled layer loop over a STACKED pytree.
 
     For decode steps this beats lax.scan by ~25% on TPU: scan's xs/ys
@@ -672,16 +692,16 @@ def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
     is_list = isinstance(stacked, list)
     n_layers = len(stacked) if is_list else _stacked_layer_count(stacked)
     if cache is not None and use_pallas and x.shape[1] == 1 \
-            and not is_list:
+            and not is_list and tp_axis is None:
         # whole-model fused decode: ONE pallas call for all layers
         # (kernels/decode_step.py) — kills the per-layer launch + pipeline
         # ramp overhead that dominated the r2 decode step.  The engine's
         # first-decode probe disables this path process-wide if the
         # kernel fails to compile on the chip (mega_disabled()).
         from ..kernels.decode_step import (fused_decode_step,
-                                           fused_step_supported,
+                                           fused_step_preferred,
                                            mega_backend_ok)
-        if mega_backend_ok() and fused_step_supported(spec, stacked, cache,
+        if mega_backend_ok() and fused_step_preferred(spec, stacked, cache,
                                                       x.shape[0]):
             return fused_decode_step(spec, stacked, x, positions, cache)
     fused = False
@@ -699,7 +719,7 @@ def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
         else:
             lc = layer_cache_slice_static(cache, i)
         x, lc = decoder_layer(spec, lp, x, positions, lc,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, tp_axis=tp_axis)
         if cache is not None:
             from ..runtime.kv_cache import store_layer_cache
             cache = store_layer_cache(cache, i, lc)

@@ -112,6 +112,10 @@ class ModelSpec:
     tie_word_embeddings: bool = False
     qk_column_order: int = 0
     qkv_format: int = 0  # 0: split by head then Q+K+V; 1: Q+K+V
+    # fused w1n3 column layout: 0/1 = [all W1 | all W3]; r > 1 = rank-major
+    # [w1_0|w3_0|...|w1_{r-1}|w3_{r-1}] so a contiguous tensor-parallel
+    # shard holds a matched (w1_r, w3_r) pair (parallel/tp_step.py)
+    w1n3_ranks: int = 0
     kq_scale: float = 1.0
     transform_qk: bool = False
     normalize_lm_head: bool = False

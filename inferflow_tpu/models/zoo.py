@@ -99,6 +99,9 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
     filled per layer with donated writes: stacking afterwards needs one
     contiguous multi-GB allocation at the most fragmented moment, which
     fails on 10GB-class models even with free HBM."""
+    if device_layout in ("", "auto") and weight_format:
+        from ..quant.codec_jax import resolve_auto_layout
+        device_layout = resolve_auto_layout(spec, weight_format)
     hp = spec.hyper_params
     E, I, V = hp.embd_dims, hp.decoder_intermediate_size, hp.vocab_size
     q_dim = hp.decoder_heads * hp.head_dim

@@ -350,6 +350,47 @@ def int8_rowwise_activations(x: jax.Array):
     return q, scale
 
 
+def resolve_auto_layout(spec, weight_format) -> str:
+    """Pick the device layout for device_layout in ('', 'auto').
+
+    Measured decision (tools/ab_decode.py, r4, v5e): wire-packed
+    sub-byte unpack is VPU-bound (~5 vector ops/weight, 2.2x slower than
+    streaming the int8 block container), so sub-byte wire formats default
+    to 'q8c' (weight-only, per-block scales kept, 8.5 effective bits) —
+    UNLESS the 2x container would blow the chip's HBM (llama2-13b at 8.5
+    bits is ~13.8 GB on a 16 GB v5e), in which case the wire layout
+    ('packed') wins by fitting at all.  Explicit layouts pass through.
+    """
+    if getattr(spec, "device_layout", "") not in ("", "auto"):
+        return spec.device_layout
+    if not weight_format or jax.default_backend() != "tpu":
+        return ""
+    from .formats import get_format, GLOBAL_TYPES
+    if weight_format.upper() in GLOBAL_TYPES:
+        return ""
+    try:
+        fmt = get_format(weight_format)
+    except KeyError:
+        return ""
+    if not (fmt.pair_base11 or any(p.bits < 8 for p in fmt.planes)):
+        return ""
+    hp = spec.hyper_params
+    e, d = hp.embd_dims, hp.head_dim
+    hq, hk = hp.decoder_heads, hp.kv_heads
+    f = hp.decoder_intermediate_size or 4 * e
+    n_exp = max(hp.experts, 1)
+    per_layer = e * (hq + 2 * hk) * d + hq * d * e + n_exp * 3 * e * f
+    params = hp.decoder_layers * per_layer + 2 * hp.vocab_size * e
+    q8c_bytes = params * 17 // 16  # 8.5 bits/weight
+    try:
+        limit = jax.local_devices()[0].memory_stats().get(
+            "bytes_limit", 16_000_000_000)
+    except Exception:  # noqa: BLE001 — backends without memory_stats
+        limit = 16_000_000_000
+    # leave room for the KV cache, activations and compiler workspace
+    return "q8c" if q8c_bytes <= 0.75 * limit else "packed"
+
+
 def requantize_q8_container(qt: QuantizedTensor) -> QuantizedTensor:
     """Re-encode a sub-byte-format tensor into the Q8_B32T2 device layout.
 

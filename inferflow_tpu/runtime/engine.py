@@ -224,6 +224,7 @@ class InferenceEngine:
             max(self.n_device_layers, 1), self.max_slots,
             self.max_context_len, hp.kv_heads, hp.head_dim,
             quantized=kv_cache_quantized)
+        self.tp_shardmap = False
         if mesh is not None:
             from ..parallel.sharding import shard_params, shard_kv_cache
             sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -236,6 +237,24 @@ class InferenceEngine:
             if hp.kv_heads % sizes.get("tp", 1):
                 raise ValueError(f"kv heads ({hp.kv_heads}) must divide by"
                                  f" tp={sizes.get('tp')}")
+            # shard_map decode (parallel/tp_step.py): the per-layer Pallas
+            # kernels run on every TP shard — the reference's quantized
+            # GEMV per shard + all-reduce (inference_worker.cc:1381-1391).
+            # GSPMD keeps handling prefill and any ineligible config.
+            from ..parallel.tp_step import tp_eligible, prepare_tp_params
+            tp = sizes.get("tp", 1)
+            if (use_pallas and self.sp_size <= 1
+                    and sizes.get("pp", 1) == 1 and tp > 1
+                    and tp_eligible(self.spec, self.params.get("layers"),
+                                    tp)):
+                self.params = dict(
+                    self.params,
+                    layers=prepare_tp_params(self.params["layers"],
+                                             self.spec, tp))
+                spec = dataclasses.replace(self.spec, qkv_format=0,
+                                           w1n3_ranks=tp)
+                self.spec = spec
+                self.tp_shardmap = True
             self.params = shard_params(self.params, mesh, stacked=True)
             self.cache = shard_kv_cache(self.cache, mesh)
         self._lengths = np.zeros((self.max_slots,), np.int32)
@@ -301,7 +320,7 @@ class InferenceEngine:
             return
         stacked = self.params.get("layers")
         bsz = self.max_slots
-        if not _mega.fused_step_supported(self.spec, stacked, self.cache,
+        if not _mega.fused_step_preferred(self.spec, stacked, self.cache,
                                           bsz):
             return
         tokens = np.zeros((bsz, 1), np.int32)
@@ -438,9 +457,14 @@ class InferenceEngine:
                                       output_logits)
         positions = cache.length[:, None]
         x = embed_tokens(self.spec, params, tokens, positions, embeds)
-        x, cache = decoder_layers_unrolled(
-            self.spec, params["layers"], x, positions, cache,
-            use_pallas=self.use_pallas)
+        if self.tp_shardmap:
+            from ..parallel.tp_step import tp_decode_layers
+            x, cache = tp_decode_layers(self.spec, params["layers"], x,
+                                        cache, self.mesh, use_pallas=True)
+        else:
+            x, cache = decoder_layers_unrolled(
+                self.spec, params["layers"], x, positions, cache,
+                use_pallas=self.use_pallas)
         logits = output_logits(self.spec, params, x,
                                use_pallas=self.use_pallas)
         cache = cache.with_length(cache.length + active)

@@ -310,6 +310,8 @@ def test_engine_mega_probe_fallback(monkeypatch, caplog):
     from inferflow_tpu.kernels import decode_step as mega
 
     monkeypatch.setenv("INFERFLOW_MEGA_FORCE", "1")
+    # =2: force past the perf routing (wire-packed Q4 prefers per-layer)
+    monkeypatch.setenv("INFERFLOW_MEGA", "2")
 
     def boom(*a, **k):
         raise RuntimeError("injected mosaic build failure")

@@ -141,3 +141,104 @@ def test_mesh_validation_errors():
     mesh = make_mesh(jax.devices()[:2], dp=1, pp=2, tp=1)
     with pytest.raises(ValueError):
         InferenceEngine(spec, params, mesh=mesh)
+
+
+@needs4
+def test_tp_shardmap_layers_parity():
+    """shard_map decode path (parallel/tp_step.py): the per-layer kernels
+    run on LOCAL tp shards with psum after wo/w2 (VERDICT r3 item 6).
+    Direct layer-stack parity vs decoder_layers_unrolled on the SAME
+    repacked weights — the only expected difference is the bf16 psum
+    reassociation (partial sums reduced in a different order)."""
+    import dataclasses
+    from inferflow_tpu.models.decoder import (decoder_layers_scan,
+                                              decoder_layers_unrolled)
+    from inferflow_tpu.runtime.kv_cache import KVCache
+    from inferflow_tpu.parallel.tp_step import (prepare_tp_params,
+                                                tp_decode_layers)
+
+    spec = make_spec("test-llama")  # GQA: hq=8, hk=2
+    spec.max_context_len = 512
+    params = make_synthetic_params(spec, weight_format="Q4_B64T1",
+                                   stacked=True)
+    hp = spec.hyper_params
+    stacked0 = prepare_tp_params(params["layers"], spec, 2)
+    spec0 = dataclasses.replace(spec, qkv_format=0, w1n3_ranks=2)
+    rng = np.random.default_rng(0)
+    cache = KVCache.create(hp.decoder_layers, 2, 512, hp.kv_heads,
+                           hp.head_dim, quantized=True)
+    x0 = jnp.asarray(rng.standard_normal((2, 5, hp.embd_dims)) * 0.3,
+                     jnp.bfloat16)
+    pos = jnp.broadcast_to(jnp.arange(5)[None, :], (2, 5))
+    _, cache = decoder_layers_scan(spec0, stacked0, x0, pos, cache,
+                                   use_pallas=False)
+    cache = cache.with_length(jnp.asarray([5, 3], jnp.int32))
+    x = jnp.asarray(rng.standard_normal((2, 1, hp.embd_dims)) * 0.3,
+                    jnp.bfloat16)
+    ref_x, ref_c = decoder_layers_unrolled(
+        spec0, stacked0, x, cache.length[:, None], cache, use_pallas=False)
+    mesh = make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2)
+    got_x, got_c = tp_decode_layers(spec0, stacked0, x, cache, mesh,
+                                    use_pallas=True)
+
+    a = np.asarray(ref_x, np.float32).ravel()
+    b = np.asarray(got_x, np.float32).ravel()
+    err = np.sqrt(((a - b) ** 2).mean()) / (np.sqrt((a * a).mean()) + 1e-9)
+    assert err < 0.02, f"tp shard_map decode mismatch: norm_rmsd={err}"
+    # appended KV rows must agree (same codec, local heads)
+    for layer in (0, hp.decoder_layers - 1):
+        kr, _ = ref_c.read_layer(layer, jnp.float32)
+        kg, _ = got_c.read_layer(layer, jnp.float32)
+        for slot, ln in enumerate([5, 3]):
+            np.testing.assert_allclose(np.asarray(kg[slot, ln]),
+                                       np.asarray(kr[slot, ln]),
+                                       rtol=0.08, atol=0.08)
+
+
+@needs4
+def test_tp_shardmap_engine_generates():
+    """The tp shard_map path engages through the ENGINE (qkv repacked to
+    format 0, w1n3 to rank-major) and serves greedy decode end-to-end."""
+    spec = make_spec("test-llama")
+    spec.max_context_len = 512
+    params = make_synthetic_params(spec, weight_format="Q4_B64T1",
+                                   stacked=True)
+    mesh = make_mesh(jax.devices()[:2], dp=1, pp=1, tp=2)
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          max_context_len=512, use_pallas=True, mesh=mesh,
+                          kv_cache_quantized=True)
+    assert eng.tp_shardmap is True
+    assert eng.spec.qkv_format == 0  # repacked for contiguous tp shards
+    assert eng.spec.w1n3_ranks == 2
+    out = eng.generate([3, 17, 9, 25], SamplingOptions(strategy="greedy"),
+                       max_new_tokens=6)
+    assert len(out) == 6
+
+
+@needs4
+def test_tp_shardmap_dp_combo():
+    """(dp=2, tp=2) mesh: shard_map decode with slot-sharded batch."""
+    spec = make_spec("test-llama")
+    spec.max_context_len = 512
+    params = make_synthetic_params(spec, weight_format="Q8_B32T2",
+                                   stacked=True)
+    mesh = make_mesh(jax.devices()[:4], dp=2, pp=1, tp=2)
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          max_context_len=512, use_pallas=True, mesh=mesh,
+                          kv_cache_quantized=True)
+    assert eng.tp_shardmap is True
+    q1 = eng.add_query([3, 5], SamplingOptions(strategy="greedy"))
+    q2 = eng.add_query([7, 2, 11], SamplingOptions(strategy="greedy"))
+    for _ in range(5):
+        eng.commit_inference_result(eng.infer())
+    assert eng.query_tokens(q1) and eng.query_tokens(q2)
+
+
+@needs4
+def test_tp_shardmap_ineligible_falls_back():
+    """pp>1 or MoE trees keep the GSPMD path (tp_shardmap off)."""
+    spec, params = _tiny(layers=2, heads=4)
+    mesh = make_mesh(jax.devices()[:4], dp=1, pp=2, tp=2)
+    eng = InferenceEngine(spec, params, max_concurrent_queries=2,
+                          use_pallas=True, mesh=mesh)
+    assert eng.tp_shardmap is False
