@@ -55,6 +55,8 @@ class EngineConfig:
     decoder_cpu_layer_count: int = 0
     sequence_parallel: int = 0  # >1: ring-attention prefill over 'sp'
     pipeline_prefill: bool = False  # micro-batch pipeline over 'pp'
+    kv_cache_paging: bool = False  # page-pool KV cache (runtime/paged_kv)
+    kv_pool_tokens: int = 0  # pool size; 0 = slots * max_context
     encoder_cpu_layer_count: int = 0
     cpu_threads: int = 8
     return_output_tensors: bool = False
@@ -98,6 +100,8 @@ def load_engine_config(path: str, data_root_dir: str = "",
 
     ec.sequence_parallel = cfg.get_int(section, "sequence_parallel", 0)
     ec.pipeline_prefill = cfg.get_bool(section, "pipeline_prefill", False)
+    ec.kv_cache_paging = cfg.get_bool(section, "kv_cache_paging", False)
+    ec.kv_pool_tokens = cfg.get_int(section, "kv_pool_tokens", 0)
     ec.device_groups = parse_device_groups(cfg.get(section, "devices", "0"))
     ec.multi_device_strategy = strategy_from_groups(ec.device_groups)
 

@@ -280,6 +280,196 @@ def _decode_attention(meta, q, k, k_scale, v, v_scale, *,
     return out.reshape(bsz, hq, d)
 
 
+def _make_paged_kernel(g: int, d: int, blk: int, pf: int, quantized: bool,
+                       scale: float, bsz: int, maxp: int):
+    """Paged variant of _make_kernel: the seq loop walks the slot's page
+    table (scalar-prefetched) and DMAs WHOLE pool pages — one page is one
+    128-packed-row lane tile, so every copy is a static full slice
+    (runtime/paged_kv.py layout notes)."""
+    n_bufs = 2
+    ts = 128  # PAGE_S2
+
+    def kernel(*refs):
+        if quantized:
+            (meta_ref, q_ref, k_hbm, ks_hbm, v_hbm, vs_hbm, out_ref,
+             k_buf, ks_buf, v_buf, vs_buf, acc_ref, sems) = refs
+        else:
+            (meta_ref, q_ref, k_hbm, v_hbm, out_ref,
+             k_buf, v_buf, acc_ref, sems) = refs
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        layer = meta_ref[0]
+        length = meta_ref[1 + b]
+        nb = pl.cdiv(length, ts * pf)
+
+        def dma(j, slot):
+            pid = meta_ref[1 + bsz + b * maxp + j]
+            cps = [pltpu.make_async_copy(
+                k_hbm.at[layer, pid, h],
+                k_buf.at[slot], sems.at[0, slot]),
+                pltpu.make_async_copy(
+                v_hbm.at[layer, pid, h],
+                v_buf.at[slot], sems.at[1, slot])]
+            if quantized:
+                cps.append(pltpu.make_async_copy(
+                    ks_hbm.at[layer, pid, h],
+                    ks_buf.at[slot], sems.at[2, slot]))
+                cps.append(pltpu.make_async_copy(
+                    vs_hbm.at[layer, pid, h],
+                    vs_buf.at[slot], sems.at[3, slot]))
+            return cps
+
+        for cp in dma(0, 0):
+            cp.start()
+
+        qf = q_ref[0, 0].astype(jnp.float32)  # (G, D)
+        n_sub = d // blk if quantized else 1
+
+        def body(j, carry):
+            m_prev, l_prev, _ = carry
+            slot = jax.lax.rem(j, n_bufs)
+            next_slot = jax.lax.rem(j + 1, n_bufs)
+
+            @pl.when(j + 1 < nb)
+            def _():
+                for cp in dma(j + 1, next_slot):
+                    cp.start()
+
+            for cp in dma(j, slot):
+                cp.wait()
+
+            kf32 = k_buf[slot].astype(jnp.float32)  # (TS, D*pf)
+            vf32 = v_buf[slot].astype(jnp.float32)
+            if quantized:
+                ks = _decode_f16_bits(ks_buf[slot])  # (pf*C, TS)
+                vs = _decode_f16_bits(vs_buf[slot])
+
+            m_new, l_new = m_prev, l_prev
+            for par in range(pf):
+                off = par * d
+                if quantized:
+                    scores = jnp.zeros((g, ts), jnp.float32)
+                    for c in range(n_sub):
+                        part = jax.lax.dot_general(
+                            qf[:, c * blk:(c + 1) * blk],
+                            kf32[:, off + c * blk:off + (c + 1) * blk],
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        row = par * n_sub + c
+                        scores = scores + part * ks[row:row + 1, :]
+                    scores = scores * scale
+                else:
+                    scores = jax.lax.dot_general(
+                        qf, kf32[:, off:off + d],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                pos = (j * ts + jax.lax.broadcasted_iota(
+                    jnp.int32, (g, ts), 1)) * pf + par
+                scores = jnp.where(pos < length, scores, NEG_INF)
+
+                m_cur = jnp.maximum(m_new, jnp.max(scores, axis=-1,
+                                                   keepdims=True))
+                alpha = jnp.exp(m_new - m_cur)
+                p = jnp.exp(scores - m_cur)
+                l_new = alpha * l_new + jnp.sum(p, axis=-1, keepdims=True)
+                m_new = m_cur
+                if quantized:
+                    for c in range(n_sub):
+                        row = par * n_sub + c
+                        pc = p * vs[row:row + 1, :]
+                        acc_ref[:, c * blk:(c + 1) * blk] = (
+                            alpha * acc_ref[:, c * blk:(c + 1) * blk]
+                            + jnp.dot(
+                                pc,
+                                vf32[:, off + c * blk:off + (c + 1) * blk],
+                                preferred_element_type=jnp.float32))
+                else:
+                    acc_ref[:] = alpha * acc_ref[:] + jnp.dot(
+                        p, vf32[:, off:off + d],
+                        preferred_element_type=jnp.float32)
+            return m_new, l_new, jnp.float32(0)
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((g, 1), jnp.float32)
+        _, l_fin, _ = jax.lax.fori_loop(0, nb, body,
+                                        (m0, l0, jnp.float32(0)))
+        out_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_fin, 1e-30)).astype(
+            out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("kq_scale", "interpret"))
+def _paged_decode_attention(meta, q, k, k_scale, v, v_scale, *,
+                            kq_scale: float = 1.0,
+                            interpret: bool = False):
+    """Paged pool layout (runtime/paged_kv.py): k/v (L, P, H, 128, D*pf);
+    scales (L, P, H, pf*(D//blk), 128); meta: int32
+    (1 + B + B*MAXP,) = [layer, lengths, page_table.ravel()]."""
+    bsz, hq, d = q.shape
+    l, p, h, ts, dp = k.shape
+    g = hq // h
+    quantized = k_scale is not None
+    pf = dp // d
+    blk = dp // k_scale.shape[-2] if quantized else 0
+    scale = (1.0 / (d ** 0.5)) * kq_scale
+    maxp = (int(meta.shape[0]) - 1 - bsz) // bsz
+
+    q4 = q.reshape(bsz, h, g, d)
+
+    def qmap(b, hh, meta_ref):
+        return (b, hh, 0, 0)
+
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [pl.BlockSpec((1, 1, g, d), qmap, memory_space=pltpu.VMEM),
+                hbm]
+    inputs = [q4, k]
+    if quantized:
+        in_specs.append(hbm)
+        inputs.append(k_scale)
+    in_specs.append(hbm)
+    inputs.append(v)
+    if quantized:
+        in_specs.append(hbm)
+        inputs.append(v_scale)
+
+    kv_dtype = k.dtype
+    n_srows = pf * (d // blk) if quantized else 0
+    scratch = [pltpu.VMEM((2, ts, dp), kv_dtype)]
+    if quantized:
+        scratch.append(pltpu.VMEM((2, n_srows, ts), jnp.uint16))
+    scratch.append(pltpu.VMEM((2, ts, dp), kv_dtype))
+    if quantized:
+        scratch.append(pltpu.VMEM((2, n_srows, ts), jnp.uint16))
+    scratch.append(pltpu.VMEM((g, d), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((4, 2)))
+
+    kernel = _make_paged_kernel(g, d, blk, pf, quantized, scale, bsz, maxp)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, h),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, g, d), qmap,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * hq * p * ts * dp // max(bsz, 1),
+            bytes_accessed=2 * h * p * ts * dp * k.dtype.itemsize,
+            transcendentals=bsz * hq * ts * pf,
+        ),
+        interpret=interpret,
+    )(meta, *inputs)
+    return out.reshape(bsz, hq, d)
+
+
 def decode_attention(q, cache, layer, lengths, *, kq_scale: float = 1.0,
                      interpret: bool = False):
     """Fused decode attention for one layer.
@@ -291,14 +481,24 @@ def decode_attention(q, cache, layer, lengths, *, kq_scale: float = 1.0,
     Returns ((B, 1, Hq, D) attention output, the cache).
     """
     bsz = q.shape[0]
-    meta = jnp.concatenate([
-        jnp.asarray(layer, jnp.int32).reshape(1),
-        jnp.asarray(lengths, jnp.int32).reshape(bsz)])
     ks = cache.k_scale
     vs = cache.v_scale
     if ks is not None and ks.dtype == jnp.float16:
         ks = jax.lax.bitcast_convert_type(ks, jnp.uint16)
         vs = jax.lax.bitcast_convert_type(vs, jnp.uint16)
+    from ..runtime.paged_kv import PagedKVCache
+    if isinstance(cache, PagedKVCache):
+        meta = jnp.concatenate([
+            jnp.asarray(layer, jnp.int32).reshape(1),
+            jnp.asarray(lengths, jnp.int32).reshape(bsz),
+            cache.page_table.reshape(-1).astype(jnp.int32)])
+        out = _paged_decode_attention(meta, q[:, 0], cache.k, ks,
+                                      cache.v, vs, kq_scale=kq_scale,
+                                      interpret=interpret)
+        return out[:, None], cache
+    meta = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(lengths, jnp.int32).reshape(bsz)])
     out = _decode_attention(meta, q[:, 0], cache.k, ks, cache.v, vs,
                             kq_scale=kq_scale, interpret=interpret)
     return out[:, None], cache

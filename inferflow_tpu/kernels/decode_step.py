@@ -58,7 +58,12 @@ from .dequant_matmul import _decode_f16_bits
 from .attention import _pick_ts_lane
 
 NEG_INF = -1e30
-_VMEM_WBUF_BUDGET = 2 * 1024 * 1024  # per weight double-buffer pair
+# Per-matmul weight double-buffer cap.  2MB (r3) silently pushed
+# 7B-class K dims (w2 K=11008 needs 2*K*128 = 2.8MB at its smallest
+# legal tile) off the fused path entirely; v5e has 128MB of VMEM and the
+# worst-case total across the 4 matmuls + KV tiles stays under ~50MB at
+# 6MB, so big-K models keep their largest legal TN tile instead.
+_VMEM_WBUF_BUDGET = 6 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -948,6 +953,9 @@ def fused_step_supported(spec, stacked, cache, bsz: int) -> bool:
         return False
     if _disabled_reason is not None:
         return False
+    from ..runtime.kv_cache import KVCache
+    if not isinstance(cache, KVCache):
+        return False  # paged caches take the per-layer paged kernel
     if not isinstance(stacked, dict):
         return False
     hp = spec.hyper_params
@@ -1056,11 +1064,25 @@ def fused_step_preferred(spec, stacked, cache, bsz: int) -> bool:
     ffn = (moe_tree["experts_stacked"] if moe_tree is not None
            else stacked["ffn"])
     attn = stacked["attn"]
+    tiles = 0
+    hp = spec.hyper_params
+    top_k = (hp.moe_top_k or 2) if moe_tree is not None else 1
     for nm, qt in (("qkv", attn["qkv"]), ("wo", attn["wo"]),
                    ("w1n3", ffn["w1n3"]), ("w2", ffn["w2"])):
         cfg = _mm_cfg(nm, qt)
         if cfg is not None and cfg.pk > 1 and not cfg.i4:
             return False
+        if cfg is not None:
+            mult = top_k * bsz if nm in ("w1n3", "w2") and moe_tree \
+                else 1
+            tiles += (cfg.n // cfg.tn) * mult
+    # The stream loops are fully unrolled (tile offsets must be static
+    # for the weight DMAs); Mosaic compile time grows superlinearly with
+    # the body and a Mixtral-scale routed step (~200 tile streams)
+    # exceeded 30 minutes — past this budget the per-layer path wins on
+    # total cost.  INFERFLOW_MEGA=2 overrides for measurement.
+    if tiles > int(os.environ.get("INFERFLOW_MEGA_TILE_BUDGET", "128")):
+        return False
     return True
 
 

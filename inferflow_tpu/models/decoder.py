@@ -142,7 +142,7 @@ def attention_block(spec: ModelSpec, lp: dict, x, positions,
     if layer_cache is not None:
         from ..runtime.kv_cache import update_layer_cache, read_layer_cache
         layer_cache = update_layer_cache(layer_cache, k, v)
-        if "cache" in layer_cache and t == 1:
+        if "cache" in layer_cache and t == 1 and not layer_cache.get("xla"):
             # fused Pallas decode attention: Q8 dequant-on-read + online
             # softmax directly over the stacked cache, per-slot lengths
             # (reference fused softmax unary_tensor_opr.h:460-536 +
@@ -704,6 +704,8 @@ def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
         if mega_backend_ok() and fused_step_preferred(spec, stacked, cache,
                                                       x.shape[0]):
             return fused_decode_step(spec, stacked, x, positions, cache)
+    from ..runtime.paged_kv import PagedKVCache
+    paged = isinstance(cache, PagedKVCache)
     fused = False
     if cache is not None and use_pallas and x.shape[1] == 1 \
             and jax.default_backend() == "tpu":
@@ -713,9 +715,14 @@ def decoder_layers_unrolled(spec: ModelSpec, stacked, x, positions,
         lp = stacked[i] if is_list else _index_layer(stacked, i)
         if cache is None:
             lc = None
-        elif fused:
+        elif fused or paged:
+            # paged caches always flow whole (the page pool has no dense
+            # per-layer slice); 'xla' routes attention through the
+            # logical-read fallback when the kernel doesn't apply
             from ..runtime.kv_cache import layer_cache_fused
             lc = layer_cache_fused(cache, i)
+            if paged and not fused:
+                lc["xla"] = True
         else:
             lc = layer_cache_slice_static(cache, i)
         x, lc = decoder_layer(spec, lp, x, positions, lc,

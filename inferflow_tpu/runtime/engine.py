@@ -89,7 +89,9 @@ class InferenceEngine:
                  sequence_parallel: int = 0,
                  pipeline_prefill: bool = False,
                  draft: Optional[tuple] = None,
-                 draft_k: int = 4):
+                 draft_k: int = 4,
+                 kv_cache_paging: bool = False,
+                 kv_pool_tokens: int = 0):
         """mesh: optional jax.sharding.Mesh with ('dp','pp','tp') axes —
         the serving engine's multi-device path (reference
         Infer_TensorParallelism inference_engine.cc:1222-1296 +
@@ -220,10 +222,33 @@ class InferenceEngine:
             self._host_layer_step = jax.jit(
                 make_host_layer_fn(spec, use_pallas and
                                    self.cpu_device is None))
-        self.cache = KVCache.create(
-            max(self.n_device_layers, 1), self.max_slots,
-            self.max_context_len, hp.kv_heads, hp.head_dim,
-            quantized=kv_cache_quantized)
+        # paged KV cache (runtime/paged_kv.py): page pool + per-slot page
+        # tables — HBM scales with tokens in flight, not slots x
+        # max_context.  Pages covering prompt + max_new are reserved at
+        # prefill; queries defer (stay PREFILL-pending) when the pool is
+        # exhausted and admit as finishing queries release pages.
+        self._paging = bool(kv_cache_paging)
+        self._free_pages: list = []
+        self._slot_pages: Dict[int, list] = {}
+        if self._paging:
+            if (mesh is not None or self.sp_size > 1
+                    or self.host_kv_layers or draft is not None):
+                raise ValueError("kv_cache_paging composes with the plain "
+                                 "single-device engine (no device groups, "
+                                 "ring prefill, host offload or draft)")
+            from .paged_kv import PagedKVCache
+            self.cache = PagedKVCache.create(
+                max(self.n_device_layers, 1), self.max_slots,
+                self.max_context_len, hp.kv_heads, hp.head_dim,
+                pool_tokens=kv_pool_tokens,
+                quantized=kv_cache_quantized)
+            # page 0 stays unallocated: unassigned table entries read it
+            self._free_pages = list(range(1, self.cache.num_pages))
+        else:
+            self.cache = KVCache.create(
+                max(self.n_device_layers, 1), self.max_slots,
+                self.max_context_len, hp.kv_heads, hp.head_dim,
+                quantized=kv_cache_quantized)
         self.tp_shardmap = False
         if mesh is not None:
             from ..parallel.sharding import shard_params, shard_kv_cache
@@ -340,9 +365,10 @@ class InferenceEngine:
             jax.block_until_ready(out)
         except Exception as e:  # noqa: BLE001 — compile OR runtime build
             import logging
+            head = " | ".join(str(e).splitlines()[:2])[:300]
             logging.getLogger(__name__).warning(
-                "fused decode step failed to build (%s); serving falls "
-                "back to the per-layer path", type(e).__name__)
+                "fused decode step failed to build (%s: %s); serving "
+                "falls back to the per-layer path", type(e).__name__, head)
             _mega.disable_mega(type(e).__name__)
             # fresh jit wrappers -> fresh traces without the mega call
             self._decode_step = jax.jit(self._decode_impl,
@@ -538,6 +564,34 @@ class InferenceEngine:
         self.cache = _scatter_cache(self.cache, tmp, jnp.int32(slot),
                                     jnp.int32(length))
 
+    # -- paged-pool bookkeeping (kv_cache_paging) ------------------------
+    def _reserve_pages(self, qs) -> bool:
+        """Reserve pages covering prompt + max_new for a pending query;
+        False = pool exhausted, keep it PREFILL-pending (the reservation
+        up front means decode never stalls mid-stream)."""
+        if qs.slot in self._slot_pages:
+            return True  # reserved on an earlier (deferred) attempt
+        pt = self.cache.page_tokens
+        want = min(len(qs.prompt_tokens) + qs.max_new_tokens + 1,
+                   self.max_context_len)
+        need = min(-(-want // pt), self.cache.max_pages_per_slot)
+        if need > self.cache.num_pages - 1:
+            raise RuntimeError(
+                f"query needs {need} pages but the pool only has "
+                f"{self.cache.num_pages - 1}; raise kv_pool_tokens")
+        if need > len(self._free_pages):
+            return False
+        pids = [self._free_pages.pop() for _ in range(need)]
+        self._slot_pages[qs.slot] = pids
+        self.cache = self.cache.with_page_row(
+            qs.slot, np.asarray(pids, np.int32))
+        return True
+
+    def _release_pages(self, slot: int) -> None:
+        pids = self._slot_pages.pop(slot, None)
+        if pids:
+            self._free_pages.extend(pids)
+
     # -- public API (reference: inference_engine.h facade) --------------
     def add_query(self, prompt: Sequence[int] | str,
                   sampling: Optional[SamplingOptions] = None,
@@ -566,11 +620,14 @@ class InferenceEngine:
 
         with self._lock:
             pending = self.table.prefill_pending()
+        if pending and self._paging and not self._reserve_pages(pending[0]):
+            pending = []  # pool exhausted; retry when queries release pages
         if pending:
             qs = pending[0]
             tokens = qs.prompt_tokens
             use_pipeline = (self.pipe_prefill
                             and len(tokens) > self.prefill_chunk
+                            and not self._paging
                             and not self.host_kv_layers
                             # heterogeneous (list) stacks can't shard
                             # the layer axis; fall back to chunking
@@ -585,6 +642,8 @@ class InferenceEngine:
                     # the scatter target; fall back to serial chunking
             use_chunked = (len(tokens) > self.prefill_chunk
                            and not use_pipeline
+                           and not self._paging  # paged: whole-bucket
+                           # prefill into a dense temp, then page scatter
                            and not self.host_kv_layers
                            and self.sp_size <= 1)  # ring mode prefills
                            # the whole prompt sharded over 'sp' instead
@@ -634,7 +693,18 @@ class InferenceEngine:
                         self.params, self._place_rep(padded),
                         self._gather_embeds(padded),
                         jnp.int32(len(tokens)), bucket=bucket)
-                self._scatter_prefill(qs.slot, tmp, len(tokens))
+                if self._paging:
+                    from .paged_kv import scatter_prefill_pages
+                    pids = self._slot_pages[qs.slot]
+                    n_copy = min(-(-len(tokens) // self.cache.page_tokens),
+                                 len(pids))
+                    self.cache = scatter_prefill_pages(
+                        self.cache, tmp,
+                        jnp.asarray(pids[:n_copy], jnp.int32),
+                        jnp.int32(len(tokens)), slot=qs.slot,
+                        n_pages=n_copy)
+                else:
+                    self._scatter_prefill(qs.slot, tmp, len(tokens))
                 self._lengths[qs.slot] = len(tokens)
                 self._finish_prefill(qs, np.asarray(last_logits, np.float32),
                                      results, tokens)
@@ -720,7 +790,9 @@ class InferenceEngine:
                   cpu_layer_count=max(config.decoder_cpu_layer_count, 0),
                   mesh=mesh,
                   sequence_parallel=config.sequence_parallel,
-                  pipeline_prefill=config.pipeline_prefill)
+                  pipeline_prefill=config.pipeline_prefill,
+                  kv_cache_paging=config.kv_cache_paging,
+                  kv_pool_tokens=config.kv_pool_tokens)
         eng.study = StudyMode(enabled=config.is_study_mode,
                               show_tensors=config.show_tensors)
         eng.perf = PerfStat(enabled=config.enable_perf_stat)
@@ -823,6 +895,8 @@ class InferenceEngine:
                     if t not in self.eos_ids:
                         qs.generated.append(t)
                 if r.is_end:
+                    if self._paging:
+                        self._release_pages(qs.slot)
                     self.table.finish(r.query_id, r.finish_reason)
                     self.strategies.end_query(r.query_id)
 
@@ -841,7 +915,7 @@ class InferenceEngine:
                                self._gather_embeds(np.zeros((1, b),
                                                             np.int32)),
                                jnp.int32(1), bucket=b)
-        if self.max_context_len > self.prefill_chunk:
+        if self.max_context_len > self.prefill_chunk and not self._paging:
             # chunked-prefill programs (one shape, two variants)
             chunk = np.zeros((1, self.prefill_chunk), np.int32)
             for need_logits in (False, True):

@@ -180,3 +180,60 @@ device_weight_data_type = F16
     assert dict(eng.mesh.shape)["pp"] == 2
     toks = eng.generate([3, 5], max_new_tokens=3)
     assert len(toks) >= 1
+
+
+def test_decoder_engine_from_config_paged(tmp_path, rng):
+    """`kv_cache_paging = true` in a served ini builds a paged-cache
+    engine through the factory and serves end-to-end."""
+    from inferflow_tpu.config import load_engine_config
+    from inferflow_tpu.runtime import make_engine, InferenceEngine
+    from inferflow_tpu.runtime.paged_kv import PagedKVCache
+    import struct
+
+    mdir = tmp_path / "decp"
+    os.makedirs(mdir)
+    dim, hid, lay, hd, vb, sq = 32, 64, 1, 4, 48, 512
+    with open(mdir / "model.bin", "wb") as fh:
+        fh.write(struct.pack("<7i", dim, hid, lay, hd, hd, vb, sq))
+
+        def w(*shape):
+            fh.write((rng.standard_normal(shape) * 0.08)
+                     .astype(np.float32).tobytes())
+        w(vb, dim)
+        for group in ((dim,), (dim, dim), (dim, dim), (dim, dim),
+                      (dim, dim), (dim,), (hid, dim), (dim, hid),
+                      (hid, dim)):
+            for _ in range(lay):
+                w(*group)
+        w(dim)
+        w(sq, dim // hd)
+    with open(mdir / "model_spec.json", "w") as fh:
+        json.dump({"model_files": ["model.bin"],
+                   "model_file_format": "llama2.c",
+                   "network_structure": {"type": "transformer.llama",
+                                         "qk_column_order": 0}}, fh)
+    ini = os.path.join(str(tmp_path), "decp.ini")
+    with open(ini, "w") as fh:
+        fh.write(f"""
+[main]
+http_port = 0
+
+[transformer_engine]
+models = decp
+max_concurrent_queries = 2
+kv_cache_paging = true
+kv_pool_tokens = 4096
+
+[model.decp]
+model_dir = {mdir}/
+model_specification_file = {mdir}/model_spec.json
+device_weight_data_type = F16
+device_kv_cache_data_type = Q8
+""")
+    ec = load_engine_config(ini)
+    assert ec.kv_cache_paging is True and ec.kv_pool_tokens == 4096
+    eng = make_engine(ec)
+    assert isinstance(eng, InferenceEngine)
+    assert isinstance(eng.cache, PagedKVCache)
+    toks = eng.generate([3, 5], max_new_tokens=3)
+    assert len(toks) >= 1
