@@ -353,8 +353,18 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
 
         def stream_mm(nm, xv, consume, expert=None):
             """xv: (B, K) bf16 activations; consume(j, acc) applies the
-            (B, TN) f32 tile j.  expert: optional traced scalar selecting
-            the expert slab of an (L, E, ...) plane (routed MoE)."""
+            (B, TN) f32 tile j (j is a TRACED loop index — consumers
+            store via pl.ds offsets, which are TN-multiples and TN is a
+            128-multiple, so every dynamic lane slice is Mosaic-legal).
+            expert: optional traced scalar selecting the expert slab of
+            an (L, E, ...) plane (routed MoE).
+
+            The tile walk is a lax.fori_loop, NOT an unrolled Python
+            loop: tile offsets could be static, but unrolling made the
+            Mosaic program grow with N/TN and a 7B-shape compile blew
+            past the 30-minute remote-compiler pipe (measured r4); one
+            traced body compiles in roughly constant time regardless of
+            N."""
             cfg = cfgs[nm]
             plane_ref, sc_ref, bs_ref = w_refs[nm]
             wb, sb, bb = wbufs[nm]
@@ -366,7 +376,9 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
 
             def finish(j, acc):
                 if br is not None:
-                    acc = acc + br[0, :, j * cfg.tn:(j + 1) * cfg.tn]
+                    acc = acc + br[0, :,
+                                   pl.ds(pl.multiple_of(j * cfg.tn,
+                                                        cfg.tn), cfg.tn)]
                 consume(j, acc)
 
             # per-row sub index / shift amounts, shared by all tiles
@@ -396,35 +408,28 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 xsum = _dot(xv, sel).astype(jnp.bfloat16)  # (B, K/blk)
 
             def dma(j, slot):
-                # j is a static Python int: tile offsets are static slices
-                o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
+                # j/slot are traced: tile offsets are TN-multiple dynamic
+                # lane slices (legal; TN is a 128-multiple)
+                o = pl.ds(pl.multiple_of(j * cfg.tn, cfg.tn), cfg.tn)
                 if expert is None:
-                    pr = plane_ref.at[l, :, o0:o1]
-                    sr = sc_ref.at[l, :, o0:o1]
+                    pr = plane_ref.at[l, :, o]
+                    sr = sc_ref.at[l, :, o]
                 else:
-                    pr = plane_ref.at[l, expert, :, o0:o1]
-                    sr = sc_ref.at[l, expert, :, o0:o1]
+                    pr = plane_ref.at[l, expert, :, o]
+                    sr = sc_ref.at[l, expert, :, o]
                 cps = [pltpu.make_async_copy(
                     pr, wb.at[slot], wsems.at[mi, slot, 0]),
                     pltpu.make_async_copy(
                     sr, sb.at[slot], wsems.at[mi, slot, 1])]
                 if cfg.has_base:
-                    br_ = (bs_ref.at[l, :, o0:o1] if expert is None
-                           else bs_ref.at[l, expert, :, o0:o1])
+                    br_ = (bs_ref.at[l, :, o] if expert is None
+                           else bs_ref.at[l, expert, :, o])
                     cps.append(pltpu.make_async_copy(
                         br_, bb.at[slot], wsems.at[mi, slot, 2]))
                 return cps
 
-            for cp in dma(0, 0):
-                cp.start()
-
-            for j in range(ntiles):
-                slot = j % 2
-                if j + 1 < ntiles:
-                    for cp in dma(j + 1, (j + 1) % 2):
-                        cp.start()
-                for cp in dma(j, slot):
-                    cp.wait()
+            def tile_acc(slot):
+                """(B, TN) f32 partial for the tile in buffer `slot`."""
                 if cfg.percol:
                     # int8 MXU container: direct int8->bf16 convert, one
                     # f32 column scale on the OUTPUT tile
@@ -433,10 +438,9 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         qb = wb[slot][c0:c0 + kc, :].astype(jnp.bfloat16)
                         part = _dot(xv[:, c0:c0 + kc], qb)
                         acc = part if acc is None else acc + part
-                    finish(j, acc * sb[slot][:])
-                    continue
+                    return acc * sb[slot][:]
                 if cfg.pair8:
-                    # Q3H base-11 pairs: byte j holds v0 + 11*v1 for
+                    # Q3H base-11 pairs: one byte holds v0 + 11*v1 for
                     # values 2j / 2j+1; decode both in f32 (exact for
                     # codes 0..120, see codec_jax.dequantize) and pick by
                     # row parity after the 2x sublane repeat
@@ -460,8 +464,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                                         axis=0).astype(jnp.bfloat16)
                         part = _dot(xv[:, c0 * 2:(c0 + kc) * 2], qb * sc)
                         acc = part if acc is None else acc + part
-                    finish(j, acc)
-                    continue
+                    return acc
                 if cfg.i4:
                     # native int4 rows (codes-8): one convert per weight;
                     # the +8 offset and the base both ride the xsum dot
@@ -476,8 +479,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                             sc_small[c0 // cfg.blk:(c0 + kc) // cfg.blk, :],
                             cfg.blk, axis=0).astype(jnp.bfloat16)
                         acc = acc + _dot(xv[:, c0:c0 + kc], qb * sc)
-                    finish(j, acc)
-                    continue
+                    return acc
                 # single-plane format: each packed sub-value is a COMPLETE
                 # code — w = q * scale[k // blk]; base handled via xsum
                 sc_small = _decode_f16_bits(sb[slot])  # (K/blk, TN) f32
@@ -509,14 +511,33 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                     w = qb * sc
                     part = _dot(xv[:, c0 * cfg.pk:(c0 + kc) * cfg.pk], w)
                     acc = part if acc is None else acc + part
-                finish(j, acc)
+                return acc
+
+            for cp in dma(jnp.int32(0), jnp.int32(0)):
+                cp.start()
+
+            def tile_body(j, carry):
+                slot = jax.lax.rem(j, 2)
+
+                @pl.when(j + 1 < ntiles)
+                def _():
+                    for cp in dma(j + 1, jax.lax.rem(j + 1, 2)):
+                        cp.start()
+                for cp in dma(j, slot):
+                    cp.wait()
+                finish(j, tile_acc(slot))
+                return carry
+
+            jax.lax.fori_loop(0, ntiles, tile_body, jnp.int32(0))
 
         # ---- phase 1: attn norm + qkv --------------------------------
         xn[:] = _rmsnorm(xres[:], anorm_ref[0], eps)  # [0] -> (1, E)
 
+        def _tile_ds(j, tn):
+            return pl.ds(pl.multiple_of(j * tn, tn), tn)
+
         def into_qkv(j, acc):
-            cfg = cfgs["qkv"]
-            qkv_acc[:, j * cfg.tn:(j + 1) * cfg.tn] = acc
+            qkv_acc[:, _tile_ds(j, cfgs["qkv"].tn)] = acc
         stream_mm("qkv", xn[:], into_qkv)
 
         # ---- phase 2+3: rope, self-quant, attention ------------------
@@ -676,8 +697,8 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
 
         # ---- phase 4: wo + residual ----------------------------------
         def into_res(j, acc, cfg):
-            o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
-            xres[:, o0:o1] = xres[:, o0:o1] + acc.astype(jnp.bfloat16)
+            o = _tile_ds(j, cfg.tn)
+            xres[:, o] = xres[:, o] + acc.astype(jnp.bfloat16)
         stream_mm("wo", attn_ctx[:],
                   lambda j, acc: into_res(j, acc, cfgs["wo"]))
 
@@ -695,8 +716,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
 
         if moe is None:
             def into_h2(j, acc):
-                cfg = cfgs["w1n3"]
-                h2[:, j * cfg.tn:(j + 1) * cfg.tn] = acc
+                h2[:, _tile_ds(j, cfgs["w1n3"].tn)] = acc
             stream_mm("w1n3", xn[:], into_h2)
 
             # ---- phase 7: GLU activation -----------------------------
@@ -735,18 +755,15 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                     v_j = v_raw / tot if norm_topk else v_raw
 
                     def into_h2b(j, acc):
-                        cfg = cfgs["w1n3"]
-                        h2[b:b + 1, j * cfg.tn:(j + 1) * cfg.tn] = acc
+                        h2[b:b + 1, _tile_ds(j, cfgs["w1n3"].tn)] = acc
                     stream_mm("w1n3", xb, into_h2b, expert=e_j)
                     hglu[b:b + 1, :f_dim] = _glu(h2[b:b + 1, :f_dim],
                                                  h2[b:b + 1, f_dim:])
 
                     def into_res_b(j, acc, v=v_j):
-                        cfg = cfgs["w2"]
-                        o0, o1 = j * cfg.tn, (j + 1) * cfg.tn
-                        xres[b:b + 1, o0:o1] = (
-                            xres[b:b + 1, o0:o1]
-                            + (acc * v).astype(jnp.bfloat16))
+                        o = _tile_ds(j, cfgs["w2"].tn)
+                        xres[b:b + 1, o] = (xres[b:b + 1, o]
+                                            + (acc * v).astype(jnp.bfloat16))
                     stream_mm("w2", hglu[b:b + 1, :], into_res_b,
                               expert=e_j)
 
@@ -1076,12 +1093,21 @@ def fused_step_preferred(spec, stacked, cache, bsz: int) -> bool:
             mult = top_k * bsz if nm in ("w1n3", "w2") and moe_tree \
                 else 1
             tiles += (cfg.n // cfg.tn) * mult
-    # The stream loops are fully unrolled (tile offsets must be static
-    # for the weight DMAs); Mosaic compile time grows superlinearly with
-    # the body and a Mixtral-scale routed step (~200 tile streams)
-    # exceeded 30 minutes — past this budget the per-layer path wins on
-    # total cost.  INFERFLOW_MEGA=2 overrides for measurement.
-    if tiles > int(os.environ.get("INFERFLOW_MEGA_TILE_BUDGET", "128")):
+    # Compile-size routing (measured r4).  The weight tile streams are a
+    # lax.fori_loop (near-constant compile cost in N), but the in-kernel
+    # attention still unrolls per kv head and per slot: a 7B MHA config
+    # (hk=32, b=1) compiled past the remote compiler's ~30-minute pipe
+    # limit even with fori tile streams, while hk<=8 configs compile in
+    # seconds.  Past these budgets the per-layer path (whose attention
+    # kernel grids over (B, H) instead of unrolling) wins on total cost.
+    # INFERFLOW_MEGA=2 overrides for measurement.
+    if tiles > int(os.environ.get("INFERFLOW_MEGA_TILE_BUDGET", "512")):
+        return False
+    from ..runtime.kv_cache import kv_block_for
+    d = cache.head_dim
+    n_sub = d // kv_block_for(d)
+    att_unroll = hp.kv_heads * bsz * n_sub
+    if att_unroll > int(os.environ.get("INFERFLOW_MEGA_HEAD_BUDGET", "64")):
         return False
     return True
 
