@@ -1101,7 +1101,11 @@ def fused_step_preferred(spec, stacked, cache, bsz: int) -> bool:
     # seconds.  Past these budgets the per-layer path (whose attention
     # kernel grids over (B, H) instead of unrolling) wins on total cost.
     # INFERFLOW_MEGA=2 overrides for measurement.
-    if tiles > int(os.environ.get("INFERFLOW_MEGA_TILE_BUDGET", "512")):
+    # (tiles now counts fori-loop TRIPS for dense streams, but the MoE
+    # expert selection unrolls its stream bodies top_k x per slot and a
+    # Mixtral-scale routed step still exceeded the 30-min compile pipe
+    # with fori tiles — measured r4 twice)
+    if tiles > int(os.environ.get("INFERFLOW_MEGA_TILE_BUDGET", "128")):
         return False
     from ..runtime.kv_cache import kv_block_for
     d = cache.head_dim

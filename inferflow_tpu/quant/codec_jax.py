@@ -10,6 +10,7 @@ A quantized tensor travels through jit as a QuantizedTensor pytree.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -379,6 +380,34 @@ def resolve_auto_layout(spec, weight_format) -> str:
     hq, hk = hp.decoder_heads, hp.kv_heads
     f = hp.decoder_intermediate_size or 4 * e
     n_exp = max(hp.experts, 1)
+    # q8c only pays INSIDE the fused decode step (per-layer q8c measured
+    # SLOWER than per-layer wire at 7B: 26 vs 31 tok/s); models the mega
+    # kernel won't take (its attention unrolls per kv head — see
+    # fused_step_preferred's head budget) keep the wire layout
+    from ..runtime.kv_cache import kv_block_for
+    att_unroll = hk * max(d // kv_block_for(d), 1)
+    if att_unroll > int(os.environ.get("INFERFLOW_MEGA_HEAD_BUDGET",
+                                       "64")):
+        return "packed"
+    # mirror fused_step_preferred's stream-tile budget with the q8c
+    # container's geometry (kp = K): past it the mega kernel won't take
+    # this model either, so the 2x container buys nothing
+    def _tn(kp, n):
+        for tn in (512, 256, 128):
+            if n % tn == 0 and 2 * kp * tn <= 6 * 1024 * 1024:
+                return tn
+        return 0
+    top_k = (hp.moe_top_k or 2) if n_exp > 1 else 1
+    tiles = 0
+    for kp, n, moe_mm in ((e, (hq + 2 * hk) * d, False),
+                          (hq * d, e, False),
+                          (e, 2 * f, True), (f, e, True)):
+        tn = _tn(kp, n)
+        if tn == 0:
+            return "packed"
+        tiles += (n // tn) * (top_k if moe_mm and n_exp > 1 else 1)
+    if tiles > int(os.environ.get("INFERFLOW_MEGA_TILE_BUDGET", "128")):
+        return "packed"
     per_layer = e * (hq + 2 * hk) * d + hq * d * e + n_exp * 3 * e * f
     params = hp.decoder_layers * per_layer + 2 * hp.vocab_size * e
     q8c_bytes = params * 17 // 16  # 8.5 bits/weight
