@@ -314,7 +314,12 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
         vbuf = refs[idx]; idx += 1
         ksbuf = refs[idx]; idx += 1             # (2, H, pf*C, TS) u16
         vsbuf = refs[idx]; idx += 1
-        acc_at = refs[idx]; idx += 1            # (Hq, D) f32
+        acc_at = refs[idx]; idx += 1            # (Hk, G, D) f32
+        q3 = refs[idx]; idx += 1                # (Hk, G, D) f32
+        ks3 = refs[idx]; idx += 1               # (Hk, 1, D) f32 self row
+        vs3 = refs[idx]; idx += 1
+        m3 = refs[idx]; idx += 1                # (Hk, G, 128) f32
+        l3 = refs[idx]; idx += 1
         wsems = refs[idx]; idx += 1             # DMA (4, 2, 3)
         kvsems = refs[idx]; idx += 1            # DMA (4, 2)
 
@@ -609,15 +614,24 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 for cp in dma_kv(0, 0):
                     cp.start()
 
+            # Per-head state lives in VMEM scratch indexed by a fori over
+            # kv heads (the per-head PYTHON loop made the kernel body
+            # grow with hk x n_sub — a 7B MHA compile ran past the
+            # remote compiler's 30-min pipe even with fori tile streams).
+            # Dynamic LEADING-dim ref indexing is Mosaic-legal where
+            # dynamic sublane slicing (h*g offsets, g<8) is not, so the
+            # head axis becomes the leading dim: q3/acc_at (hk, g, D),
+            # self rows (hk, 1, D), and the online-softmax m/l broadcast
+            # across 128 lanes and re-reduced on load (a (g, 1) ref slice
+            # has no legal lane tiling).
+            q3[:] = q_rot.reshape(hk, g, d)
+            ks3[:] = k_self.reshape(hk, 1, d)
+            vs3[:] = v_self.reshape(hk, 1, d)
+            m3[:] = jnp.full(m3.shape, NEG_INF, jnp.float32)
+            l3[:] = jnp.zeros(l3.shape, jnp.float32)
             acc_at[:] = jnp.zeros_like(acc_at)
 
             def body(j, carry):
-                # carry = per-kv-head tuples of (g, 1) running max / sum:
-                # h is static, so tuple indexing replaces the row-slice
-                # updates (scatter / dynamic_update_slice on loop-carry
-                # VALUES have no Mosaic lowering; ref stores would force a
-                # VMEM round-trip per tile)
-                m_t, l_t = map(list, carry)
                 slot = jax.lax.rem(j, 2)
 
                 @pl.when(j + 1 < nb)
@@ -627,18 +641,19 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 for cp in dma_kv(j, slot):
                     cp.wait()
 
-                ks_all = _decode_f16_bits(ksbuf[slot])  # (H, pf*C, TS)
-                vs_all = _decode_f16_bits(vsbuf[slot])
                 for par in range(pf):
                     off = par * d
                     pos = (j * ts + jax.lax.broadcasted_iota(
                         jnp.int32, (g, ts), 1)) * pf + par
-                    for h in range(hk):
-                        kf = kbuf[slot][h, :, off:off + d].astype(
+
+                    def hbody(h, c2, par=par, off=off, pos=pos):
+                        kf = kbuf[slot, h][:, off:off + d].astype(
                             jnp.float32)  # (TS, D)
-                        vf = vbuf[slot][h, :, off:off + d].astype(
+                        vf = vbuf[slot, h][:, off:off + d].astype(
                             jnp.float32)
-                        qh = q_rot[h * g:(h + 1) * g, :]  # (g, D)
+                        ksr = _decode_f16_bits(ksbuf[slot, h])  # (pfC, TS)
+                        vsr = _decode_f16_bits(vsbuf[slot, h])
+                        qh = q3[h]  # (g, D)
                         scores = jnp.zeros((g, ts), jnp.float32)
                         for c in range(n_sub):
                             part = jax.lax.dot_general(
@@ -647,12 +662,12 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                                 dimension_numbers=(((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
                             row = par * n_sub + c
-                            scores = scores + part * ks_all[h, row:row + 1, :]
+                            scores = scores + part * ksr[row:row + 1, :]
                         scores = scores * scale
                         scores = jnp.where(pos < length, scores, NEG_INF)
 
-                        m_h = m_t[h]
-                        l_h = l_t[h]
+                        m_h = jnp.max(m3[h], axis=-1, keepdims=True)
+                        l_h = jnp.max(l3[h], axis=-1, keepdims=True)
                         m_new = jnp.maximum(m_h, jnp.max(scores, axis=-1,
                                                          keepdims=True))
                         alpha = jnp.exp(m_h - m_new)
@@ -661,37 +676,37 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                                                       keepdims=True)
                         for c in range(n_sub):
                             row = par * n_sub + c
-                            pc = p * vs_all[h, row:row + 1, :]
+                            pc = p * vsr[row:row + 1, :]
                             sl = slice(c * kv_blk, (c + 1) * kv_blk)
-                            acc_at[h * g:(h + 1) * g, sl] = (
-                                alpha * acc_at[h * g:(h + 1) * g, sl]
+                            acc_at[h, :, sl] = (
+                                alpha * acc_at[h, :, sl]
                                 + jnp.dot(pc, vf[:, sl],
                                           preferred_element_type=jnp.float32))
-                        m_t[h] = m_new
-                        l_t[h] = l_new
-                return tuple(m_t), tuple(l_t)
+                        m3[h] = jnp.broadcast_to(m_new, (g, 128))
+                        l3[h] = jnp.broadcast_to(l_new, (g, 128))
+                        return c2
+                    jax.lax.fori_loop(0, hk, hbody, jnp.int32(0))
+                return carry
 
-            m0 = tuple(jnp.full((g, 1), NEG_INF, jnp.float32)
-                       for _ in range(hk))
-            l0 = tuple(jnp.zeros((g, 1), jnp.float32) for _ in range(hk))
-            m_fin, l_fin = jax.lax.fori_loop(0, nb, body, (m0, l0))
+            jax.lax.fori_loop(0, nb, body, jnp.int32(0))
 
             # self term: the current token's own (quantized) K/V row
-            ctx_rows = []
-            for h in range(hk):
-                qh = q_rot[h * g:(h + 1) * g, :]
-                s_self = jnp.sum(qh * k_self[h:h + 1, :], axis=-1,
+            def self_body(h, c2):
+                qh = q3[h]
+                s_self = jnp.sum(qh * ks3[h], axis=-1,
                                  keepdims=True) * scale  # (g, 1)
-                m_h = m_fin[h]
-                l_h = l_fin[h]
+                m_h = jnp.max(m3[h], axis=-1, keepdims=True)
+                l_h = jnp.max(l3[h], axis=-1, keepdims=True)
                 m_new = jnp.maximum(m_h, s_self)
                 alpha = jnp.exp(m_h - m_new)
                 p_self = jnp.exp(s_self - m_new)
                 l_new = alpha * l_h + p_self
-                ctx_h = (alpha * acc_at[h * g:(h + 1) * g, :]
-                         + p_self * v_self[h:h + 1, :].astype(jnp.float32))
-                ctx_rows.append(ctx_h / jnp.maximum(l_new, 1e-30))
-            ctx = jnp.concatenate(ctx_rows, axis=0)  # (Hq, D)
+                acc_at[h] = ((alpha * acc_at[h] + p_self * vs3[h])
+                             / jnp.maximum(l_new, 1e-30))
+                return c2
+
+            jax.lax.fori_loop(0, hk, self_body, jnp.int32(0))
+            ctx = acc_at[:].reshape(hq, d)  # (hk, g, D) -> sublane merge
             attn_ctx[b:b + 1, :] = _merge_heads(ctx, hq, d).astype(
                 jnp.bfloat16)
 
@@ -886,12 +901,18 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
         if cfg.has_base:
             scratch.append(pltpu.VMEM((2, cfg.k_s // cfg.blk, cfg.tn),
                                       jnp.uint16))
+    g = hq // hk
     scratch += [
         pltpu.VMEM((2, h, ts, dp), cache_k.dtype),   # kbuf
         pltpu.VMEM((2, h, ts, dp), cache_k.dtype),   # vbuf
         pltpu.VMEM((2, h, n_srows, ts), jnp.uint16),  # ksbuf
         pltpu.VMEM((2, h, n_srows, ts), jnp.uint16),  # vsbuf
-        pltpu.VMEM((hq, d), jnp.float32),            # acc_at
+        pltpu.VMEM((hk, g, d), jnp.float32),         # acc_at
+        pltpu.VMEM((hk, g, d), jnp.float32),         # q3
+        pltpu.VMEM((hk, 1, d), jnp.float32),         # ks3 (self K row)
+        pltpu.VMEM((hk, 1, d), jnp.float32),         # vs3
+        pltpu.VMEM((hk, g, 128), jnp.float32),       # m3
+        pltpu.VMEM((hk, g, 128), jnp.float32),       # l3
         pltpu.SemaphoreType.DMA((4, 2, 3)),
         pltpu.SemaphoreType.DMA((4, 2)),
     ]
@@ -1093,13 +1114,13 @@ def fused_step_preferred(spec, stacked, cache, bsz: int) -> bool:
             mult = top_k * bsz if nm in ("w1n3", "w2") and moe_tree \
                 else 1
             tiles += (cfg.n // cfg.tn) * mult
-    # Compile-size routing (measured r4).  The weight tile streams are a
-    # lax.fori_loop (near-constant compile cost in N), but the in-kernel
-    # attention still unrolls per kv head and per slot: a 7B MHA config
-    # (hk=32, b=1) compiled past the remote compiler's ~30-minute pipe
-    # limit even with fori tile streams, while hk<=8 configs compile in
-    # seconds.  Past these budgets the per-layer path (whose attention
-    # kernel grids over (B, H) instead of unrolling) wins on total cost.
+    # Compile-size routing (measured r4).  Both the weight tile streams
+    # AND the attention head walk are lax.fori_loop bodies now, yet a 7B
+    # MHA compile STILL exceeded the remote compiler's ~30-minute pipe
+    # (the residual driver is not isolated; tinyllama-class shapes
+    # compile in ~2 min).  These empirical budgets keep known-compilable
+    # configs on the fused path and route the rest to the per-layer path
+    # (where the i8mm layout measures 0.52 SOL at 7B).
     # INFERFLOW_MEGA=2 overrides for measurement.
     # (tiles now counts fori-loop TRIPS for dense streams, but the MoE
     # expert selection unrolls its stream bodies top_k x per slot and a
