@@ -164,9 +164,12 @@ def _prepare_tensor(spec: ModelSpec, path: tuple, arr: np.ndarray,
                     # measured TPU default: sub-byte wire -> the q8c int8
                     # container when it fits HBM (codec_jax
                     # resolve_auto_layout; 'packed' forces the wire
-                    # layout, 'i8mm' opts into int8 activations)
+                    # layout, 'i8mm' opts into int8 activations, 'mixed'
+                    # upgrades only the FFN when full q8c won't fit)
                     from ..quant.codec_jax import resolve_auto_layout
                     layout = resolve_auto_layout(spec, et)
+                from ..quant.codec_jax import layout_for_leaf
+                layout = layout_for_leaf(layout, leaf)
                 if layout == "i8mm":
                     from ..quant.codec_jax import requantize_i8_colwise
                     return requantize_i8_colwise(qt)

@@ -67,9 +67,13 @@ def make_spec(name: str, **overrides) -> ModelSpec:
     return spec
 
 
-def _maybe_quant(w, weight_format: Optional[str], device_layout: str = ""):
+def _maybe_quant(w, weight_format: Optional[str], device_layout: str = "",
+                 leaf: str = ""):
     if weight_format in (None, "F16", "BF16", "F32"):
         return w.astype(jnp.bfloat16)
+    if leaf:
+        from ..quant.codec_jax import layout_for_leaf
+        device_layout = layout_for_leaf(device_layout, leaf)
     from ..quant.formats import get_format
     if w.shape[0] % get_format(weight_format).block != 0:
         # K not a block multiple: keep dense (mirrors the loader's
@@ -128,7 +132,8 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
         raw = gen_layer(sub)
         layer = {
             "attn": {"pre_norm": jnp.ones((E,), jnp.bfloat16),
-                     **{k: _maybe_quant(raw[k], weight_format, device_layout)
+                     **{k: _maybe_quant(raw[k], weight_format,
+                                        device_layout, leaf=k)
                         for k in ("wq", "wk", "wv", "wo")}},
         }
         if hp.experts:
@@ -138,11 +143,11 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
                 key2, e1, e2, e3 = jax.random.split(key2, 4)
                 experts.append({
                     "w1": _maybe_quant(rand(e1, E, I), weight_format,
-                                       device_layout),
+                                       device_layout, leaf="w1"),
                     "w2": _maybe_quant(rand(e2, I, E), weight_format,
-                                       device_layout),
+                                       device_layout, leaf="w2"),
                     "w3": _maybe_quant(rand(e3, E, I), weight_format,
-                                       device_layout)})
+                                       device_layout, leaf="w3")})
             layer["moe"] = {
                 "pre_norm": jnp.ones((E,), jnp.bfloat16),
                 "gate": rand(gk, E, hp.experts).astype(jnp.bfloat16),
@@ -151,7 +156,7 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
         else:
             layer["ffn"] = {"pre_norm": jnp.ones((E,), jnp.bfloat16),
                             **{k: _maybe_quant(raw[k], weight_format,
-                                               device_layout)
+                                               device_layout, leaf=k)
                                for k in ("w1", "w2", "w3")}}
         from .decoder import fuse_layer_weights, stack_moe_experts
         return stack_moe_experts(fuse_layer_weights([layer]))[0]
@@ -182,7 +187,8 @@ def make_synthetic_params(spec: ModelSpec, weight_format: Optional[str] = None,
     params = {
         "dec_embeddings": emb.astype(jnp.bfloat16),
         "dec_output_norm": jnp.ones((E,), jnp.bfloat16),
-        "lm_head": _maybe_quant(head, weight_format, device_layout),
+        "lm_head": _maybe_quant(head, weight_format, device_layout,
+                                leaf="lm_head"),
         "layers": layers,
     }
     return params

@@ -408,16 +408,46 @@ def resolve_auto_layout(spec, weight_format) -> str:
         tiles += (n // tn) * (top_k if moe_mm and n_exp > 1 else 1)
     if tiles > int(os.environ.get("INFERFLOW_MEGA_TILE_BUDGET", "128")):
         return "packed"
-    per_layer = e * (hq + 2 * hk) * d + hq * d * e + n_exp * 3 * e * f
-    params = hp.decoder_layers * per_layer + 2 * hp.vocab_size * e
-    q8c_bytes = params * 17 // 16  # 8.5 bits/weight
+    attn_params = hp.decoder_layers * (e * (hq + 2 * hk) * d + hq * d * e)
+    ffn_params = hp.decoder_layers * n_exp * 3 * e * f
+    head_params = 2 * hp.vocab_size * e
+    q8c_bytes = (attn_params + ffn_params + head_params) * 17 // 16
     try:
         limit = jax.local_devices()[0].memory_stats().get(
             "bytes_limit", 16_000_000_000)
     except Exception:  # noqa: BLE001 — backends without memory_stats
         limit = 16_000_000_000
     # leave room for the KV cache, activations and compiler workspace
-    return "q8c" if q8c_bytes <= 0.75 * limit else "packed"
+    if q8c_bytes <= 0.75 * limit:
+        return "q8c"
+    # MIXED fallback (the llama2-13b-on-16GB case): the FFN holds ~2/3 of
+    # the weights and its K dims are the largest (q8c streams them at
+    # ~515 GB/s vs ~225 packed), so upgrade ONLY the FFN to the q8c
+    # container and keep attention + lm_head on the wire layout.  The
+    # per-layer decode path dispatches per tensor, so the mix needs no
+    # kernel work; fused_step_preferred already rejects wire-packed
+    # tensors, so mixed models route per-layer.
+    wire_bpw = fmt.effective_bits / 8.0
+    mixed_bytes = (ffn_params * 17 // 16
+                   + int((attn_params + head_params) * wire_bpw))
+    if mixed_bytes <= 0.75 * limit:
+        return "mixed"
+    return "packed"
+
+
+# FFN slot leaves that take the q8c container under the 'mixed' layout
+# (w1/w2/w3 also name per-expert MoE weights, which the mix upgrades too)
+MIXED_CONTAINER_LEAVES = frozenset({"w1", "w2", "w3", "w1n3"})
+
+
+def layout_for_leaf(layout: str, leaf: str) -> str:
+    """Per-tensor device layout under a whole-model decision.
+
+    'mixed' = q8c container for FFN slots, wire layout for everything
+    else (attention, lm_head, gate).  All other layouts are uniform."""
+    if layout != "mixed":
+        return layout
+    return "q8c" if leaf in MIXED_CONTAINER_LEAVES else "packed"
 
 
 def requantize_q8_container(qt: QuantizedTensor) -> QuantizedTensor:
