@@ -410,8 +410,15 @@ def resolve_auto_layout(spec, weight_format) -> str:
         return "packed"
     attn_params = hp.decoder_layers * (e * (hq + 2 * hk) * d + hq * d * e)
     ffn_params = hp.decoder_layers * n_exp * 3 * e * f
-    head_params = 2 * hp.vocab_size * e
-    q8c_bytes = (attn_params + ffn_params + head_params) * 17 // 16
+    # embeddings stay dense bf16 regardless of layout (2 B/weight,
+    # model_loader.py); only the lm_head takes the container/wire layout.
+    # Counting both at container width hid ~0.25 GB at 13B vocab and
+    # could admit a model past the 25% headroom reserved for KV cache /
+    # activations (ADVICE r4).
+    emb_bytes = 2 * hp.vocab_size * e
+    head_params = hp.vocab_size * e
+    q8c_bytes = (attn_params + ffn_params + head_params) * 17 // 16 \
+        + emb_bytes
     try:
         limit = jax.local_devices()[0].memory_stats().get(
             "bytes_limit", 16_000_000_000)
@@ -428,7 +435,7 @@ def resolve_auto_layout(spec, weight_format) -> str:
     # kernel work; fused_step_preferred already rejects wire-packed
     # tensors, so mixed models route per-layer.
     wire_bpw = fmt.effective_bits / 8.0
-    mixed_bytes = (ffn_params * 17 // 16
+    mixed_bytes = (ffn_params * 17 // 16 + emb_bytes
                    + int((attn_params + head_params) * wire_bpw))
     if mixed_bytes <= 0.75 * limit:
         return "mixed"

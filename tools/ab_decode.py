@@ -51,6 +51,9 @@ ALL_CONFIGS = {
     "mega-q8c": ("Q4_B64T1", "q8c", True),
     "perlayer-q8c": ("Q4_B64T1", "q8c", False),
     "perlayer-i8mm": ("Q8_B32T2", "i8mm", False),
+    # the 13B-on-16GB candidates (ADVICE r4: 'mixed' was never measured)
+    "perlayer-mixed": ("Q4_B64T1", "mixed", False),
+    "perlayer-i4": ("Q4_B64T1", "i4", False),
 }
 
 
