@@ -82,8 +82,9 @@ class _MM:
     has_base: bool
     percol: bool = False  # int8 MXU container: one f32 scale per COLUMN,
     #                       applied to the output tile after the dot
-    i4: bool = False      # native-int4 plane (codes-8 at row k): unpack
-    #                       is ONE int4->bf16 convert; +8 rides the base
+    i4: bool = False      # packed-int4 plane (data_i4p, codes-8 nibble
+    #                       pairs): in-kernel pltpu.bitcast to int4 then
+    #                       ONE int4->bf16 convert; +8 rides the base
     #                       dot (see repack_i4)
     pair8: bool = False   # Q3H base-11 pair layout: one byte per value
     #                       PAIR (v0 + 11*v1); decode + per-row parity
@@ -112,15 +113,17 @@ def _mm_cfg(name: str, qt) -> Optional[_MM]:
             return None
         return _MM(name, kp, kp, n, tn, 1, 8, True, 0, False, percol=True)
     fmt = get_format(qt.format)
-    if "data_i4" in qt.planes:
-        plane = qt.planes["data_i4"]
+    if "data_i4p" in qt.planes:
+        # packed nibbles: kp = K/2 physical uint8 rows (see repack_i4)
+        plane = qt.planes["data_i4p"]
         kp, n = int(plane.shape[-2]), int(plane.shape[-1])
-        if kp % fmt.block or kp % 8:
+        k_s = kp * 2
+        if k_s % fmt.block or kp % 8:
             return None
-        tn = _pick_tn(kp // 2, n)  # int4: half a byte per row element
+        tn = _pick_tn(kp, n)
         if tn == 0:
             return None
-        return _MM(name, kp, kp, n, tn, 1, 4, True, fmt.block,
+        return _MM(name, k_s, kp, n, tn, 2, 4, True, fmt.block,
                    fmt.base_kind != "zero", i4=True)
     if fmt.pair_base11:
         # Q3H: only the pair8 device layout (one byte per pair) streams;
@@ -390,13 +393,30 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             if cfg.pair8:
                 even = jax.lax.broadcasted_iota(
                     jnp.int32, (kc * 2, 1), 0) % 2 == 0
-            elif cfg.pk > 1:
+            elif cfg.pk > 1 and not cfg.i4:
                 srow = jax.lax.broadcasted_iota(
                     jnp.int32, (kc * cfg.pk, 1), 0) % cfg.pk
                 if cfg.signed:
                     lsh = 32 - cfg.bits - cfg.bits * srow
                 else:
                     rsh = cfg.bits * srow
+
+            # int8 MXU container: quantize the activations per row ONCE
+            # per stream (the same symmetric rule as the per-layer path's
+            # codec_jax.int8_rowwise_activations, so mega == per-layer
+            # numerics), then every tile is one int8 x int8 -> int32 MXU
+            # dot with the row*column scales applied to the (B, TN)
+            # OUTPUT.  This removes the int8->bf16 convert per WEIGHT
+            # that capped the r4 i8mm stream (the dot itself runs at 2x
+            # bf16 MACs/cycle on v5e), leaving the DMA as the only
+            # per-weight cost.
+            xq8 = xs_row = None
+            if cfg.percol:
+                xf32 = xv.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(xf32), axis=-1, keepdims=True)
+                xs_row = jnp.maximum(amax, 1e-12) / 127.0
+                xq8 = jnp.clip(jnp.round(xf32 / xs_row),
+                               -127, 127).astype(jnp.int8)
 
             # base term via block sums: the dot is linear, so
             # sum_k x_k*(q*sc + base)[k,n] splits into the scale dot plus
@@ -436,14 +456,14 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             def tile_acc(slot):
                 """(B, TN) f32 partial for the tile in buffer `slot`."""
                 if cfg.percol:
-                    # int8 MXU container: direct int8->bf16 convert, one
-                    # f32 column scale on the OUTPUT tile
-                    acc = None
-                    for c0 in range(0, cfg.kp, kc):
-                        qb = wb[slot][c0:c0 + kc, :].astype(jnp.bfloat16)
-                        part = _dot(xv[:, c0:c0 + kc], qb)
-                        acc = part if acc is None else acc + part
-                    return acc * sb[slot][:]
+                    # int8 x int8 -> int32 on the MXU (exact: verified
+                    # bit-equal to the int64 reference on-chip), scales
+                    # on the output.  No K chunking: there is no unpacked
+                    # (K, TN) temporary — the int8 buffer feeds the MXU
+                    # directly
+                    acc = jnp.dot(xq8, wb[slot][:],
+                                  preferred_element_type=jnp.int32)
+                    return acc.astype(jnp.float32) * xs_row * sb[slot][:]
                 if cfg.pair8:
                     # Q3H base-11 pairs: one byte holds v0 + 11*v1 for
                     # values 2j / 2j+1; decode both in f32 (exact for
@@ -471,19 +491,27 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                         acc = part if acc is None else acc + part
                     return acc
                 if cfg.i4:
-                    # native int4 rows (codes-8): one convert per weight;
-                    # the +8 offset and the base both ride the xsum dot
+                    # packed signed nibbles (codes-8): pltpu.bitcast
+                    # reinterprets the (kc, TN) uint8 tile as (2*kc, TN)
+                    # int4 rows IN REGISTER (row 2r = low nibble —
+                    # on-chip verified), so the unpack is one int4->bf16
+                    # convert per weight; the +8 offset and the base both
+                    # ride the xsum dot
                     sc_small = _decode_f16_bits(sb[slot])
                     fold = sc_small * 8.0
                     if cfg.has_base:
                         fold = fold + _decode_f16_bits(bb[slot])
                     acc = _dot(xsum, fold.astype(jnp.bfloat16))
-                    for c0 in range(0, cfg.kp, kc):
-                        qb = wb[slot][c0:c0 + kc, :].astype(jnp.bfloat16)
-                        sc = jnp.repeat(
-                            sc_small[c0 // cfg.blk:(c0 + kc) // cfg.blk, :],
-                            cfg.blk, axis=0).astype(jnp.bfloat16)
-                        acc = acc + _dot(xv[:, c0:c0 + kc], qb * sc)
+                    for c0 in range(0, cfg.kp, kc):  # kc in PACKED rows
+                        q4 = pltpu.bitcast(wb[slot][c0:c0 + kc, :],
+                                           jnp.int4)  # (2*kc, TN)
+                        qb = q4.astype(jnp.bfloat16)
+                        r0 = c0 * 2 // cfg.blk
+                        r1 = (c0 + kc) * 2 // cfg.blk
+                        sc = jnp.repeat(sc_small[r0:r1, :], cfg.blk,
+                                        axis=0).astype(jnp.bfloat16)
+                        acc = acc + _dot(xv[:, c0 * 2:(c0 + kc) * 2],
+                                         qb * sc)
                     return acc
                 # single-plane format: each packed sub-value is a COMPLETE
                 # code — w = q * scale[k // blk]; base handled via xsum
@@ -888,7 +916,9 @@ def fused_decode_step_call(meta, x0, anorm, fnorm, cos, sin, weights,
             scratch.append(pltpu.VMEM((2, 1, cfg.tn), jnp.float32))
             continue
         if cfg.i4:
-            scratch.append(pltpu.VMEM((2, cfg.kp, cfg.tn), jnp.int4))
+            # kp = K/2 packed uint8 rows; bitcast to int4 happens on the
+            # loaded tile VALUE, not the buffer
+            scratch.append(pltpu.VMEM((2, cfg.kp, cfg.tn), jnp.uint8))
             scratch.append(pltpu.VMEM((2, cfg.k_s // cfg.blk, cfg.tn),
                                       jnp.uint16))
             if cfg.has_base:
@@ -1175,7 +1205,7 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
     }
     def _w(qt):
         if isinstance(qt, QuantizedTensor):
-            for nm_ in ("data", "data_i4", "pair8"):
+            for nm_ in ("data", "data_i4p", "pair8"):
                 plane = qt.planes.get(nm_)
                 if plane is not None:
                     break

@@ -312,10 +312,12 @@ def _make_kernel(fmt: QuantFormat, tm: int, tk: int, tn: int, k_tiles: int,
 
 def _make_i4_kernel(fmt: QuantFormat, tk: int, k_tiles: int, out_dtype,
                     upcast: bool = False):
-    """Native-int4 plane (device_layout='i4', codec_jax.repack_i4): value
-    k at int4 row k as code-8.  Unpack is ONE convert; the +8 and the
-    block base fold into a per-block additive term expanded alongside
-    the scales: w = q*sc + (base + 8*sc)."""
+    """Packed-int4 plane (device_layout='i4', codec_jax.repack_i4):
+    'data_i4p' byte row r holds values 2r/2r+1 as signed code-8 nibbles;
+    pltpu.bitcast reinterprets the (tk/2, tn) uint8 tile as (tk, tn)
+    int4 rows in register.  Unpack is ONE convert; the +8 and the block
+    base fold into a per-block additive term expanded alongside the
+    scales: w = q*sc + (base + 8*sc)."""
     has_base = fmt.base_kind != "zero"
 
     def _dot(a, b):
@@ -342,7 +344,7 @@ def _make_i4_kernel(fmt: QuantFormat, tk: int, k_tiles: int, out_dtype,
         reps = fmt.block
         sc = jnp.repeat(sc_small, reps, axis=0)
         fold = jnp.repeat(fold_small, reps, axis=0)
-        q = plane_ref[:].astype(jnp.float32)
+        q = pltpu.bitcast(plane_ref[:], jnp.int4).astype(jnp.float32)
         w = (q * sc + fold).astype(jnp.bfloat16)
         acc_ref[:] += _dot(x_ref[:], w)
 
@@ -378,8 +380,9 @@ def _tk_unit(fmt: QuantFormat, pair8: bool = False,
     per = 2 if fmt.pair_base11 else 1
     units = [8 * fmt.block]  # scale/base rows
     if i4:
-        # whole-x lane width + int4 plane rows; no sub-slices
-        units += [128, 8]
+        # whole-x lane width + packed uint8 plane rows (tk/2 must be a
+        # sublane multiple); no sub-slices
+        units += [128, 16]
     elif pair8:
         units += [256, 8 * 2]  # x_even/x_odd widths; byte-per-pair rows
     elif fmt.pair_base11:
@@ -408,7 +411,7 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
 
     tm = max(16, min(256, ((m + 15) // 16) * 16))
     pair8_layout = fmt.pair_base11 and "pair8" in plane_names
-    i4_layout = "data_i4" in plane_names
+    i4_layout = "data_i4p" in plane_names
     # tk == k is always alignment-safe (every sub-slice is full-width)
     tk = _pick_tile(k, _TK_TARGET, _tk_unit(fmt, pair8_layout, i4_layout)) \
         or (k if k <= 8192 else None)
@@ -428,9 +431,9 @@ def _pallas_matmul(x, planes_flat, scale, base, *, fmt_name: str, k: int,
         in_specs.append(pl.BlockSpec((tm, tk), lambda i, nn, j: (i, j),
                                      memory_space=pltpu.VMEM))
         inputs.append(x.astype(jnp.bfloat16))
-        in_specs.append(pl.BlockSpec((tk, tn), lambda i, nn, j: (j, nn),
+        in_specs.append(pl.BlockSpec((tk // 2, tn), lambda i, nn, j: (j, nn),
                                      memory_space=pltpu.VMEM))
-        inputs.append(planes["data_i4"])
+        inputs.append(planes["data_i4p"])
         meta_rows = tk // fmt.block
         meta_spec = pl.BlockSpec((meta_rows, tn), lambda i, nn, j: (j, nn),
                                  memory_space=pltpu.VMEM)
@@ -644,7 +647,7 @@ def quantized_matmul(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     k_s = storage_k(qt)
     lead = x.shape[:-1]
     pair8 = fmt.pair_base11 and "pair8" in qt.planes
-    i4 = "data_i4" in qt.planes
+    i4 = "data_i4p" in qt.planes
     use_pallas = (jax.default_backend() == "tpu"
                   and _tileable(fmt, k_s, n, pair8, i4))
     if not use_pallas:
@@ -672,7 +675,7 @@ def quantized_matmul_interpret(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     k_s = storage_k(qt)
     if not _tileable(fmt, k_s, n,
                      fmt.pair_base11 and "pair8" in qt.planes,
-                     "data_i4" in qt.planes):
+                     "data_i4p" in qt.planes):
         wd = dequantize(qt, x.dtype)
         return jnp.matmul(x.astype(jnp.float32), wd.astype(jnp.float32)
                           ).astype(x.dtype)

@@ -186,14 +186,22 @@ def _codes_jnp(qt: QuantizedTensor, fmt: QuantFormat, npairs_or_k: int):
 
 
 def repack_i4(qt: QuantizedTensor) -> QuantizedTensor:
-    """Device layout 'i4': re-store a 4-bit single-plane tensor's codes as
-    a NATIVE int4 array — value k at row k, code-8 so the nibble's signed
-    reinterpretation is exact.  Same HBM bytes as the byte-packed plane,
-    but the fused decode kernel's unpack collapses to one int4->bf16
-    convert (Mosaic has no strided slice, so byte-packed sub-4-bit planes
-    pay a sublane repeat + per-row variable shift).  The +8 rides the
-    linear base term: w = (q-8)*sc + (base + 8*sc) — see
-    kernels/decode_step.py stream_mm.  No-op for ineligible formats.
+    """Device layout 'i4': re-store a 4-bit single-plane tensor's codes
+    as PACKED signed-int4 nibbles ('data_i4p', uint8 (K/2, N)): byte row
+    r holds value 2r in the low nibble and 2r+1 in the high nibble,
+    code-8 so the nibble's signed reinterpretation is exact.  The fused
+    kernels reinterpret a uint8 tile as a native int4 vector IN-KERNEL
+    via pltpu.bitcast (which yields exactly this row order — verified
+    on-chip), so the unpack is one int4->bf16 convert instead of the
+    byte-packed plane's sublane repeat + per-row variable shift (Mosaic
+    has no strided slice).  The +8 rides the linear base term:
+    w = (q-8)*sc + (base + 8*sc) — see kernels/decode_step.py stream_mm.
+
+    Shipped as uint8 rather than jnp.int4 because int4 arrays cannot
+    cross the jit boundary on this runtime (device_put recursion — the
+    r4 on-chip blocker, VERDICT r4 #22); the packed plane also HALVES
+    the HBM bytes vs the r4 int4-array design (4 bits/weight stored,
+    4.5 effective with scales).  No-op for ineligible formats.
     """
     fmt = get_format(qt.format)
     if (len(fmt.planes) != 1 or fmt.planes[0].bits != 4
@@ -202,8 +210,9 @@ def repack_i4(qt: QuantizedTensor) -> QuantizedTensor:
         return qt
     k_s = int(qt.scale.shape[-2]) * fmt.block
     q = _codes_jnp(qt, fmt, k_s)  # (K_s, N) codes 0..15
-    i4 = (q - 8).astype(jnp.int4)
-    return QuantizedTensor(qt.format, qt.shape, {"data_i4": i4},
+    s = (q - 8) & 0xF  # signed int4 bit patterns
+    packed = (s[0::2] | (s[1::2] << 4)).astype(jnp.uint8)
+    return QuantizedTensor(qt.format, qt.shape, {"data_i4p": packed},
                            qt.scale, qt.base)
 
 
@@ -221,8 +230,12 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     k_s = int(qt.scale.shape[-2]) * fmt.block
     scale = qt.scale.astype(jnp.float32)
 
-    if "data_i4" in qt.planes:
-        q = qt.planes["data_i4"].astype(jnp.float32) + 8.0
+    if "data_i4p" in qt.planes:
+        v = qt.planes["data_i4p"].astype(jnp.int32)
+        lo = (v << 28) >> 28  # signed low nibble = value 2r
+        hi = (v << 24) >> 28  # signed high nibble = value 2r+1
+        q = jnp.stack([lo, hi], axis=1).reshape(k_s, qt.shape[-1]
+                                                ).astype(jnp.float32) + 8.0
         w = q * jnp.repeat(scale, fmt.block, axis=0)
         if qt.base is not None:
             w = w + jnp.repeat(qt.base.astype(jnp.float32), fmt.block,

@@ -126,7 +126,8 @@ def test_fused_step_i4():
     w = jnp.asarray(rng.standard_normal((256, 128)) * 0.1, jnp.float32)
     qt = pad_weight_for_tpu(quantize(w, "Q4_B64T1"))
     qi = repack_i4(qt)
-    assert "data_i4" in qi.planes and qi.planes["data_i4"].dtype == jnp.int4
+    assert "data_i4p" in qi.planes \
+        and qi.planes["data_i4p"].dtype == jnp.uint8
     np.testing.assert_array_equal(
         np.asarray(dequantize(qi, jnp.float32)),
         np.asarray(dequantize(qt, jnp.float32)))
@@ -139,7 +140,7 @@ def test_fused_step_i4():
     from inferflow_tpu.kernels.decode_step import (fused_decode_step,
                                                    fused_step_supported)
     stacked = params["layers"]
-    assert "data_i4" in stacked["attn"]["qkv"].planes
+    assert "data_i4p" in stacked["attn"]["qkv"].planes
     cache = _prefill(spec, params, 1, [11])
     assert fused_step_supported(spec, stacked, cache, 1)
 

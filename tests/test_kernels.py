@@ -67,7 +67,7 @@ def test_i4_prefill_kernel_matches_xla_dequant(m, rng):
     k, n = 256, 256
     w = jnp.asarray(rng.standard_normal((k, n), dtype=np.float32) * 0.1)
     qi = repack_i4(pad_weight_for_tpu(quantize(w, "Q4_B64T1")))
-    assert "data_i4" in qi.planes
+    assert "data_i4p" in qi.planes
 
     x = jnp.asarray(rng.standard_normal((m, k), dtype=np.float32) * 0.2,
                     jnp.bfloat16)

@@ -60,7 +60,7 @@ def abstract_stacked(L, E, hq, hk, d, I, layout="q8c", n_exp=0):
         if layout == "i4":
             return QuantizedTensor(
                 "Q4_B64T1", lead + (k, n),
-                {"data_i4": _sds(lead + (k, n), jnp.int4)},
+                {"data_i4p": _sds(lead + (k // 2, n), jnp.uint8)},
                 _sds(lead + (k // 64, n), jnp.float16),
                 _sds(lead + (k // 64, n), jnp.float16))
         if layout == "q4":
