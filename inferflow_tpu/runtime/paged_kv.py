@@ -225,6 +225,60 @@ class PagedKVCache:
         return k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
 
 
+def append_rows_all_layers_paged(pc: PagedKVCache, k_new: jax.Array,
+                                 v_new: jax.Array,
+                                 start: jax.Array) -> PagedKVCache:
+    """Paged analog of kv_cache.append_rows_all_layers: append ONE decode
+    row per slot for ALL layers after the fused whole-model kernel.
+
+    k_new/v_new: (L, B, H, D); start: (B,) per-slot lengths.  Each slot's
+    row lands in pool page page_table[b, start // page_tokens] (reserved
+    by the engine at prefill; inactive slots write the page-0 sentinel,
+    whose rows nothing ever reads).
+    """
+    l, b, h, d = k_new.shape
+    pf = pc.pf
+    blk = kv_block_for(d)
+    pt_tok = pc.page_tokens
+    pid = jnp.take_along_axis(pc.page_table, (start // pt_tok)[:, None],
+                              axis=1)[:, 0]
+    off = start % pt_tok
+    row = off // pf   # packed row within the page
+    sub = off % pf    # packed sub-position within the row
+
+    if pc.quantized:
+        kc, ks = quantize_q8_sym(k_new, blk)   # (L,B,H,D) i8, (L,B,H,C)
+        vc, vs = quantize_q8_sym(v_new, blk)
+    else:
+        kc, vc, ks, vs = k_new, v_new, None, None
+
+    def scat_codes(pool, codes):
+        # pool (L, P, H, PAGE_S2, dp); codes (L, B, H, D)
+        for bi in range(b):
+            pool = jax.lax.dynamic_update_slice(
+                pool, codes[:, bi][:, None, :, None, :].astype(pool.dtype),
+                (0, pid[bi], 0, row[bi], sub[bi] * d))
+        return pool
+
+    def scat_scales(spool, sc):
+        # spool (L, P, H, pf*C, PAGE_S2); sc (L, B, H, C)
+        c = sc.shape[-1]
+        for bi in range(b):
+            spool = jax.lax.dynamic_update_slice(
+                spool, sc[:, bi][:, None, :, :, None].astype(spool.dtype),
+                (0, pid[bi], 0, sub[bi] * c, row[bi]))
+        return spool
+
+    k = scat_codes(pc.k, kc)
+    v = scat_codes(pc.v, vc)
+    ksc = vsc = None
+    if pc.quantized:
+        ksc = scat_scales(pc.k_scale, ks)
+        vsc = scat_scales(pc.v_scale, vs)
+    return PagedKVCache(k, v, ksc, vsc, pc.page_table, pc.length,
+                        head_dim=pc.head_dim)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,),
                    static_argnames=("slot", "n_pages"))
 def scatter_prefill_pages(pc: PagedKVCache, tmp: KVCache, pids, length,
