@@ -150,3 +150,122 @@ class SpeculativeDecoder:
         if eos_id >= 0 and eos_id in out:
             out = out[: out.index(eos_id) + 1]
         return out
+
+    # -- fused round: one dispatch per propose+verify round ---------------
+    def _round_impl(self, tparams, dparams, tcache, dcache, catchup,
+                    n_catch, last_tok):
+        """One speculative round as ONE jitted program (VERDICT r4 #8:
+        the unfused loop paid k draft dispatches + 1 verify + 2 length
+        updates PER ROUND through the axon tunnel at ~1-50 ms each —
+        that, not compute, is why the r4 gate row showed 0.24x wall).
+
+        catchup: (1, k+1) committed tokens the draft hasn't seen (the
+        previous round's accepted+corrected tokens), padded; n_catch of
+        them valid.  last_tok: (1, 1) newest committed token.  Returns
+        (proposal (k,), greedy (k+1,), accepted scalar, new caches) —
+        the host fetches the three small arrays in one round trip.
+        """
+        k = self.k
+        dspec, tspec = self.draft.spec, self.target.spec
+
+        def dstep(cache, toks, advance):
+            positions = cache.length[:, None] + jnp.arange(
+                toks.shape[1], dtype=jnp.int32)[None, :]
+            x = embed_tokens(dspec, dparams, toks, positions)
+            x, cache = decoder_layers_unrolled(
+                dspec, dparams["layers"], x, positions, cache,
+                use_pallas=self.draft.use_pallas)
+            logits = output_logits(dspec, dparams, x,
+                                   use_pallas=self.draft.use_pallas)
+            return logits, cache.with_length(cache.length + advance)
+
+        # 1) draft catch-up on the committed tokens (padded width k+1;
+        #    rows past n_catch are garbage at positions the next writes
+        #    overwrite before any length-masked read can see them).  The
+        #    logits at the last VALID position give the FIRST proposal —
+        #    the committed suffix is consumed exactly once, like the
+        #    unfused loop's run(pending) step.
+        logits_c, dcache = dstep(dcache, catchup, n_catch)
+        row0 = jax.lax.dynamic_index_in_dim(logits_c[0], n_catch - 1, 0,
+                                            keepdims=False)
+        p0 = jnp.argmax(row0).astype(jnp.int32)
+
+        # 2) draft proposes the remaining k-1 tokens, one scan step each
+        def dbody(carry, _):
+            tok, cache = carry
+            logits, cache = dstep(cache, tok, jnp.int32(1))
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            return (nxt[:, None], cache), nxt[0]
+
+        (_, dcache), rest = jax.lax.scan(
+            dbody, (p0[None, None], dcache), None, length=k - 1)
+        proposal = jnp.concatenate([p0[None], rest])
+
+        # rewind the draft to the committed prefix (the catch-up advance
+        # was already the dynamic n_catch; only the k-1 proposal steps
+        # are speculative — their stale rows are overwritten next round)
+        dcache = dcache.with_length(dcache.length - (k - 1))
+
+        # 3) target scores last committed + proposal in one pass
+        chunk = jnp.concatenate([last_tok, proposal[None, :]], axis=1)
+        tpos = tcache.length[:, None] + jnp.arange(
+            k + 1, dtype=jnp.int32)[None, :]
+        x = embed_tokens(tspec, tparams, chunk, tpos)
+        x, tcache = decoder_layers_unrolled(
+            tspec, tparams["layers"], x, tpos, tcache,
+            use_pallas=self.target.use_pallas)
+        t_logits = output_logits(tspec, tparams, x,
+                                 use_pallas=self.target.use_pallas)
+        greedy = jnp.argmax(t_logits[0], axis=-1).astype(jnp.int32)
+
+        # 4) longest matching prefix
+        match = (proposal == greedy[:k]).astype(jnp.int32)
+        accepted = jnp.sum(jnp.cumprod(match))
+        tcache = tcache.with_length(tcache.length + 1 + accepted)
+        return proposal, greedy, accepted, tcache, dcache
+
+    def generate_fused(self, prompt: Sequence[int],
+                       max_new_tokens: int = 64,
+                       eos_id: int = -1) -> List[int]:
+        """generate() with one dispatch + one small fetch per round."""
+        k = self.k
+        prompt = list(prompt)
+        self.target.reset()
+        self.draft.reset()
+        t_logits = self.target.run(prompt, advance=len(prompt))
+        self.draft.run(prompt, advance=len(prompt))
+        out = [int(t_logits[-1].argmax())]
+
+        if not hasattr(self, "_round"):
+            self._round = jax.jit(self._round_impl,
+                                  donate_argnums=(2, 3))
+
+        # first catch-up: the draft has seen the prompt but not out[0]
+        catch = [out[0]]
+        while len(out) < max_new_tokens and out[-1] != eos_id \
+                and len(prompt) + len(out) + k + 1 < self.max_context:
+            pad = catch + [0] * (k + 1 - len(catch))
+            proposal, greedy, accepted, self.target.cache, \
+                self.draft.cache = self._round(
+                    self.target.params, self.draft.params,
+                    self.target.cache, self.draft.cache,
+                    jnp.asarray([pad], jnp.int32),
+                    jnp.int32(len(catch)),
+                    jnp.asarray([[out[-1]]], jnp.int32))
+            proposal = np.asarray(proposal)
+            greedy = np.asarray(greedy)
+            accepted = int(accepted)
+            self.stats["proposed"] += k
+            self.stats["accepted"] += accepted
+            self.stats["rounds"] += 1
+            new_tokens = [int(t) for t in proposal[:accepted]] \
+                + [int(greedy[accepted])]
+            catch = []
+            for tok in new_tokens:
+                out.append(tok)
+                catch.append(tok)
+                if tok == eos_id or len(out) >= max_new_tokens:
+                    break
+        if eos_id >= 0 and eos_id in out:
+            out = out[: out.index(eos_id) + 1]
+        return out

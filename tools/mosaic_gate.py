@@ -121,6 +121,7 @@ def build_matrix(full: bool):
     m["mega-moe-b2"] = lambda: _mega_variant_moe(2)
     m["mega-Q4_B64T1-b8"] = lambda: _mega_variant("test-llama", "Q4_B64T1",
                                                   "packed", 8)
+    m["mega-paged-b2"] = lambda: _mega_variant_paged(2)
     m["attn-d128"] = lambda: _attention_variant(1, 2, 4, 128)
     m["attn-d64"] = lambda: _attention_variant(2, 2, 4, 64)
     m["dmm-Q4_B64T1"] = lambda: _dequant_matmul_variant("Q4_B64T1")
@@ -140,6 +141,41 @@ def build_matrix(full: bool):
         for fmt in ("Q5_B64T1", "Q8_B32T1", "Q3_B32T1A"):
             m[f"dmm-{fmt}"] = (lambda f=fmt: _dequant_matmul_variant(f))
     return m
+
+
+def _mega_variant_paged(bsz):
+    """Fused decode step over the PAGED pool (page-table scalar
+    prefetch): the page walk + batched-attn lane-offset DMAs."""
+    from inferflow_tpu.models.zoo import make_spec, make_synthetic_params
+    from inferflow_tpu.runtime.paged_kv import PagedKVCache
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+
+    spec = make_spec("test-llama")
+    spec.max_context_len = 512
+    params = make_synthetic_params(spec, weight_format="Q8_B32T2",
+                                   stacked=True)
+    hp = spec.hyper_params
+    cache = PagedKVCache.create(hp.decoder_layers, bsz, 512, hp.kv_heads,
+                                hp.head_dim, quantized=True,
+                                pool_tokens=(bsz + 1) * 512)
+    maxp = cache.max_pages_per_slot
+    for b in range(bsz):
+        cache = cache.with_page_row(
+            b, list(range(1 + b * maxp, 1 + (b + 1) * maxp)))
+    cache = cache.with_length(jnp.asarray([7] * bsz, jnp.int32))
+    stacked = params["layers"]
+    if not fused_step_supported(spec, stacked, cache, bsz):
+        raise RuntimeError("paged config not eligible for the fused step")
+    x = jnp.zeros((bsz, 1, hp.embd_dims), jnp.bfloat16)
+    pos = cache.length[:, None]
+
+    def thunk():
+        def f(x, cache):
+            return fused_decode_step(spec, stacked, x, pos, cache)
+        jax.jit(f).lower(x, cache).compile()
+
+    return thunk
 
 
 def _mega_variant_moe(bsz):
