@@ -267,6 +267,13 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
         if upcast:
             a, b = a.astype(jnp.float32), b.astype(jnp.float32)
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def _dg(a, b, dims):
+        # dot_general twin of _dot (same interpret-mode upcast rule)
+        if upcast:
+            a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
     g = hq // hk
     qdim = hq * d
     kvdim = hk * d
@@ -939,20 +946,26 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                     okmask = jnp.logical_and(sameslot, poscol < len_row)
 
                     def hbody(h, c2, off=off, okmask=okmask):
+                        # bf16 dot operands: the (B*g, B*ts) dots run at
+                        # the MXU's native bf16 rate (f32 matmuls cost
+                        # ~8x on v5e and dominated the batch-8 step).
+                        # Codes are int8 -> EXACT in bf16; only q rounds
+                        # (~0.4% relative, same order as the Q8 KV
+                        # quantization already in the signal); softmax
+                        # stats stay f32.
                         kf = kbuf[slot, h][:, off:off + d].astype(
-                            jnp.float32)               # (B*ts, d)
+                            jnp.bfloat16)              # (B*ts, d)
                         vf = vbuf[slot, h][:, off:off + d].astype(
-                            jnp.float32)
+                            jnp.bfloat16)
                         ksr = _decode_f16_bits(ksbuf[slot, h])  # (pfC,Bts)
                         vsr = _decode_f16_bits(vsbuf[slot, h])
-                        qh = q3[h]                       # (B*g, d)
+                        qh = q3[h].astype(jnp.bfloat16)  # (B*g, d)
                         scores = jnp.zeros((bg, bts), jnp.float32)
                         for c in range(n_sub):
-                            part = jax.lax.dot_general(
+                            part = _dg(
                                 qh[:, c * kv_blk:(c + 1) * kv_blk],
                                 kf[:, c * kv_blk:(c + 1) * kv_blk],
-                                dimension_numbers=(((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                (((1,), (1,)), ((), ())))
                             row = par * n_sub + c
                             scores = scores + part * ksr[row:row + 1, :]
                         scores = scores * scale
@@ -967,13 +980,13 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                                                       keepdims=True)
                         for c in range(n_sub):
                             row = par * n_sub + c
-                            pc = p * vsr[row:row + 1, :]
+                            pc = (p * vsr[row:row + 1, :]).astype(
+                                jnp.bfloat16)
                             sl = slice(c * kv_blk, (c + 1) * kv_blk)
                             acc_at[h, :, sl] = (
                                 alpha * acc_at[h, :, sl]
-                                + jnp.dot(
-                                    pc, vf[:, sl],
-                                    preferred_element_type=jnp.float32))
+                                + _dg(pc, vf[:, sl],
+                                      (((1,), (0,)), ((), ()))))
                         m3[h] = jnp.broadcast_to(m_new, (bg, 128))
                         l3[h] = jnp.broadcast_to(l_new, (bg, 128))
                         return c2
