@@ -310,6 +310,23 @@ def main():
     tps = batch / per_step
 
     weight_bytes = model_weight_bytes(params)
+    # Routed MoE streams only top_k/E of the expert bytes per decode
+    # step (in-kernel routing), so speed-of-light for the STEP counts
+    # the routed bytes — a whole-model denominator made the first
+    # on-chip mega-MoE row read vs_baseline 2.5 (nonsense as a
+    # fraction).  The full container must still FIT; only the per-step
+    # stream is k/E.
+    moe_desc = ""
+    layers_tree = params.get("layers")
+    if isinstance(layers_tree, dict) and "moe" in layers_tree:
+        exp_b = sum(
+            int(a.size) * a.dtype.itemsize
+            for a in jax.tree_util.tree_leaves(
+                layers_tree["moe"]["experts_stacked"]))
+        top_k = hp.moe_top_k or 2
+        n_exp = max(hp.experts, 1)
+        weight_bytes = weight_bytes - exp_b + exp_b * top_k // n_exp
+        moe_desc = f", routed {top_k}/{n_exp} SOL"
     sol_tps = bw_gbps * 1e9 / weight_bytes
     eff_layout = layout
     if not eff_layout:
@@ -320,7 +337,7 @@ def main():
     kvdesc = "paged Q8 KV" if paged else "Q8 KV"
     result = {
         "metric": f"decode tokens/s ({model_name}, {quant} weights{ldesc}, "
-                  f"{kvdesc}, batch {batch}, ctx {ctx})",
+                  f"{kvdesc}, batch {batch}, ctx {ctx}{moe_desc})",
         "value": round(tps, 3),
         "unit": "tokens/s",
         "vs_baseline": round(tps / (sol_tps * batch), 4),

@@ -1567,9 +1567,15 @@ def fused_decode_step(spec, stacked, x, positions, cache, *,
                 if plane is not None:
                     break
             return (plane, qt.scale, qt.base)
-        # Int8MXUTensor: (L, K, N) int8 + (L, N) f32 column scale,
-        # shipped as (L, 1, N) so the kernel DMAs (1, TN) tiles
-        return (qt.data, qt.scale.astype(jnp.float32)[:, None, :], None)
+        # Int8MXUTensor: (L, K, N) int8 + (L, N) f32 column scale —
+        # or (L, E, K, N) / (L, E, N) for expert-stacked MoE weights.
+        # The 1-axis goes right before N ([..., None, :], NOT [:, None])
+        # so the kernel's  sc_ref.at[l(, expert), :, o]  DMA slices a
+        # (1, TN) tile in both cases (the [:, None, :] form put E on the
+        # sliced axis and crashed the DMA with a shape mismatch — found
+        # by the first on-chip mixtral-scaled i8mm run).
+        return (qt.data,
+                qt.scale.astype(jnp.float32)[..., None, :], None)
 
     weights = {
         "qkv": _w(attn["qkv"]),

@@ -298,3 +298,31 @@ def test_fused_step_paged(model):
                                           np.asarray(k_ref[b, ln]))
             np.testing.assert_array_equal(np.asarray(v_got[b, ln]),
                                           np.asarray(v_ref[b, ln]))
+
+
+def test_fused_step_moe_i8mm():
+    """Routed MoE with the int8-MXU container (the serving default now
+    that auto resolves i8mm): expert-stacked (L, E, K, N) planes and
+    (L, E, N) column scales through the mega kernel.  Guards the
+    [..., None, :] scale reshape — the [:, None, :] form put E on the
+    DMA-sliced axis and failed on-chip with a shape mismatch."""
+    spec = make_spec("test-moe", embd=128, inter=256)
+    spec.max_context_len = 512
+    params = make_synthetic_params(spec, weight_format="Q8_B32T2",
+                                   stacked=True, device_layout="i8mm")
+    hp = spec.hyper_params
+    from inferflow_tpu.kernels.decode_step import (fused_decode_step,
+                                                   fused_step_supported)
+    stacked = params["layers"]
+    rng = np.random.default_rng(6)
+    cache = _prefill(spec, params, 2, [4, 21])
+    assert fused_step_supported(spec, stacked, cache, 2)
+    x = jnp.asarray(rng.standard_normal((2, 1, hp.embd_dims)) * 0.3,
+                    jnp.bfloat16)
+    pos = cache.length[:, None]
+    ref_x, _ = decoder_layers_unrolled(spec, stacked, x, pos, cache,
+                                       use_pallas=False)
+    got_x, _ = fused_decode_step(spec, stacked, x, pos, cache,
+                                 interpret=True)
+    err = norm_rmsd(got_x, ref_x)
+    assert err < 0.05, f"moe-i8mm mismatch: norm_rmsd={err}"
