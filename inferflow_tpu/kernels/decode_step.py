@@ -86,6 +86,15 @@ class _MM:
     #                       pairs): in-kernel pltpu.bitcast to int4 then
     #                       ONE int4->bf16 convert; +8 rides the base
     #                       dot (see repack_i4)
+    i4x8: bool = False    # i4 via the MXU integer path: int4->int8 (the
+    #                       only per-weight VPU op) and per-BLOCK
+    #                       int8 x int8 -> int32 dots with the block
+    #                       scale applied to the (B, TN) OUTPUT — the
+    #                       activations ride the same per-row int8 quant
+    #                       as i8mm, so the accuracy cost is i8mm's
+    #                       measured +0.49-PPL-on-591 (PPL_REPORT), not
+    #                       a new unknown.  INFERFLOW_I4_DOT=bf16
+    #                       reverts to the exact-activation bf16 unpack
     pair8: bool = False   # Q3H base-11 pair layout: one byte per value
     #                       PAIR (v0 + 11*v1); decode + per-row parity
     #                       select in-kernel
@@ -124,7 +133,8 @@ def _mm_cfg(name: str, qt) -> Optional[_MM]:
         if tn == 0:
             return None
         return _MM(name, k_s, kp, n, tn, 2, 4, True, fmt.block,
-                   fmt.base_kind != "zero", i4=True)
+                   fmt.base_kind != "zero", i4=True,
+                   i4x8=os.environ.get("INFERFLOW_I4_DOT", "i8") == "i8")
     if fmt.pair_base11:
         # Q3H: only the pair8 device layout (one byte per pair) streams;
         # the wire bit-planes stay on the per-layer kernel
@@ -445,7 +455,7 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
             # bf16 MACs/cycle on v5e), leaving the DMA as the only
             # per-weight cost.
             xq8 = xs_row = None
-            if cfg.percol:
+            if cfg.percol or cfg.i4x8:
                 xf32 = xv.astype(jnp.float32)
                 amax = jnp.max(jnp.abs(xf32), axis=-1, keepdims=True)
                 xs_row = jnp.maximum(amax, 1e-12) / 127.0
@@ -528,14 +538,38 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                     # packed signed nibbles (codes-8): pltpu.bitcast
                     # reinterprets the (kc, TN) uint8 tile as (2*kc, TN)
                     # int4 rows IN REGISTER (row 2r = low nibble —
-                    # on-chip verified), so the unpack is one int4->bf16
-                    # convert per weight; the +8 offset and the base both
+                    # on-chip verified); the +8 offset and the base both
                     # ride the xsum dot
                     sc_small = _decode_f16_bits(sb[slot])
                     fold = sc_small * 8.0
                     if cfg.has_base:
                         fold = fold + _decode_f16_bits(bb[slot])
                     acc = _dot(xsum, fold.astype(jnp.bfloat16))
+                    if cfg.i4x8:
+                        # MXU integer path: the nibble tile upcasts
+                        # int4->int8 (the ONLY per-weight VPU op) and
+                        # each quant block is one int8 x int8 -> int32
+                        # dot; block scale x activation row scale apply
+                        # to the (B, TN) OUTPUT — per-weight scale work
+                        # drops from ~2 VPU ops (bf16 convert + mult,
+                        # the measured 13B residual) to ~1/blk
+                        for c0 in range(0, cfg.kp, kc):
+                            q8 = pltpu.bitcast(
+                                wb[slot][c0:c0 + kc, :],
+                                jnp.int4).astype(jnp.int8)  # (2kc, TN)
+                            nblk = (2 * kc) // cfg.blk
+                            for r in range(nblk):
+                                rr = c0 * 2 // cfg.blk + r
+                                part = jax.lax.dot_general(
+                                    xq8[:, c0 * 2 + r * cfg.blk:
+                                        c0 * 2 + (r + 1) * cfg.blk],
+                                    q8[r * cfg.blk:(r + 1) * cfg.blk, :],
+                                    dimension_numbers=(
+                                        ((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                                acc = acc + part.astype(jnp.float32) * (
+                                    xs_row * sc_small[rr:rr + 1, :])
+                        return acc
                     for c0 in range(0, cfg.kp, kc):  # kc in PACKED rows
                         q4 = pltpu.bitcast(wb[slot][c0:c0 + kc, :],
                                            jnp.int4)  # (2*kc, TN)

@@ -326,3 +326,10 @@ def test_fused_step_moe_i8mm():
                                  interpret=True)
     err = norm_rmsd(got_x, ref_x)
     assert err < 0.05, f"moe-i8mm mismatch: norm_rmsd={err}"
+
+
+def test_fused_step_i4_bf16_mode(monkeypatch):
+    """INFERFLOW_I4_DOT=bf16 keeps the exact-activation unpack path
+    alive (the default i4x8 path quantizes activations to int8)."""
+    monkeypatch.setenv("INFERFLOW_I4_DOT", "bf16")
+    test_fused_step_i4()
