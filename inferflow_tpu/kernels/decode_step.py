@@ -969,17 +969,21 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                 for cp in dma_kv_b(j, slot):
                     cp.wait()
 
+                # cross-slot column mask, shared by every (par, head)
+                sameslot = (jax.lax.broadcasted_iota(
+                    jnp.int32, (bg, bts), 1) // ts
+                    == jax.lax.broadcasted_iota(
+                        jnp.int32, (bg, bts), 0) // g)
                 for par in range(pf):
                     off = par * d
-                    poscol = (j * ts + jax.lax.broadcasted_iota(
-                        jnp.int32, (bg, bts), 1) % ts) * pf + par
-                    sameslot = (jax.lax.broadcasted_iota(
-                        jnp.int32, (bg, bts), 1) // ts
-                        == jax.lax.broadcasted_iota(
-                            jnp.int32, (bg, bts), 0) // g)
-                    okmask = jnp.logical_and(sameslot, poscol < len_row)
+                    # per-position causal mask on the SMALL (B*g, ts)
+                    # field — softmax stats run there (the b4->b8 step
+                    # cost scaled ~B^2 when exp/max/sum ran on the full
+                    # (B*g, B*ts) field)
+                    post = (j * ts + jax.lax.broadcasted_iota(
+                        jnp.int32, (bg, ts), 1)) * pf + par
 
-                    def hbody(h, c2, off=off, okmask=okmask):
+                    def hbody(h, c2, off=off, post=post):
                         # bf16 dot operands: the (B*g, B*ts) dots run at
                         # the MXU's native bf16 rate (f32 matmuls cost
                         # ~8x on v5e and dominated the batch-8 step).
@@ -1002,19 +1006,30 @@ def _make_kernel(cfgs, *, n_layers, bsz, e_dim, hq, hk, d, s_packed, pf,
                                 (((1,), (1,)), ((), ())))
                             row = par * n_sub + c
                             scores = scores + part * ksr[row:row + 1, :]
-                        scores = scores * scale
-                        scores = jnp.where(okmask, scores, NEG_INF)
+                        # block-diagonal extraction: zero the cross-slot
+                        # entries and fold the slot blocks together (a
+                        # lane-split reshape is legal while both lane
+                        # dims are 128-multiples; axis-1 is a sublane
+                        # reduction) — softmax runs on B*x fewer
+                        # elements
+                        diag = jnp.where(sameslot, scores, 0.0).reshape(
+                            bg, bsz, ts).sum(axis=1) * scale  # (B*g, ts)
+                        diag = jnp.where(post < len_row, diag, NEG_INF)
                         m_h = jnp.max(m3[h], axis=-1, keepdims=True)
                         l_h = jnp.max(l3[h], axis=-1, keepdims=True)
                         m_new = jnp.maximum(
-                            m_h, jnp.max(scores, axis=-1, keepdims=True))
+                            m_h, jnp.max(diag, axis=-1, keepdims=True))
                         alpha = jnp.exp(m_h - m_new)
-                        p = jnp.exp(scores - m_new)
+                        p = jnp.exp(diag - m_new)      # (B*g, ts)
                         l_new = alpha * l_h + jnp.sum(p, axis=-1,
                                                       keepdims=True)
+                        p_big = jnp.where(
+                            sameslot,
+                            jnp.broadcast_to(p[:, None, :], (bg, bsz, ts)
+                                             ).reshape(bg, bts), 0.0)
                         for c in range(n_sub):
                             row = par * n_sub + c
-                            pc = (p * vsr[row:row + 1, :]).astype(
+                            pc = (p_big * vsr[row:row + 1, :]).astype(
                                 jnp.bfloat16)
                             sl = slice(c * kv_blk, (c + 1) * kv_blk)
                             acc_at[h, :, sl] = (
